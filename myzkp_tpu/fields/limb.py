@@ -1,0 +1,334 @@
+"""Vectorized 16-bit-limb prime-field arithmetic in JAX.
+
+Layout: an element batch is a ``uint32`` array of shape ``(L, *batch)`` holding
+little-endian 16-bit limbs (each entry < 2^16, except transiently inside
+kernels where lazy carries are bounded well below 2^32).  All functions are
+jit-friendly: static shapes, no data-dependent Python control flow.
+
+Multiplication is Montgomery (R = 2^(16L)) via an operand-scanning product
+followed by a column-lazy REDC: the partial-product accumulation keeps columns
+as uint32 "lazy" sums (bounded by ~4*L*2^16 << 2^32 for L<=16) and only
+propagates carries once at the end.  This gives sequential depth O(L) instead
+of O(L^2) and keeps every step a full-batch VPU op.
+
+TPU-native counterpart of the reference's CUDA Montgomery kernel
+(myzkp/src/modules/algebra/cuda/kernels/field.hpp:214-312: 64-bit-limb
+schoolbook mul_512 + mont_reduce); the Rust side of the reference has no limb
+arithmetic at all (BigInt, myzkp/src/modules/algebra/field.rs:88-110).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import BASE, MASK, W, FieldSpec
+
+U32 = jnp.uint32
+_MASK = np.uint32(MASK)
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion
+# ---------------------------------------------------------------------------
+
+def from_int(spec: FieldSpec, x) -> jax.Array:
+    """Python int / iterable of ints (host) -> limb array (standard domain)."""
+    xs = np.asarray(x, dtype=object)
+    flat = xs.reshape(-1)
+    out = np.empty((spec.L, flat.size), dtype=np.uint32)
+    for k, v in enumerate(flat):
+        v = int(v) % spec.p
+        for i in range(spec.L):
+            out[i, k] = (v >> (W * i)) & MASK
+    return jnp.asarray(out.reshape((spec.L,) + xs.shape))
+
+
+def to_int(spec: FieldSpec, a) -> np.ndarray:
+    """Limb array (standard domain) -> numpy object array of Python ints."""
+    a = np.asarray(a)
+    flat = a.reshape(spec.L, -1)
+    out = np.empty(flat.shape[1], dtype=object)
+    for k in range(flat.shape[1]):
+        out[k] = sum(int(flat[i, k]) << (W * i) for i in range(spec.L)) % spec.p
+    return out.reshape(a.shape[1:])
+
+
+def const(spec: FieldSpec, x: int, batch_shape=()) -> jax.Array:
+    """Broadcast a host constant (standard domain) to a limb array."""
+    limbs = spec.to_limbs(x)
+    arr = jnp.array(limbs, dtype=U32).reshape((spec.L,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(arr, (spec.L,) + tuple(batch_shape))
+
+
+def zeros(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    return jnp.zeros((spec.L,) + tuple(batch_shape), dtype=U32)
+
+
+# ---------------------------------------------------------------------------
+# Carry handling primitives
+# ---------------------------------------------------------------------------
+
+def _carry_propagate(t):
+    """Fully propagate carries of a lazy column array (limb axis leading).
+
+    Returns (limbs in canonical <2^16 form, final carry-out as uint32 batch).
+    """
+    L = t.shape[0]
+    out = []
+    c = jnp.zeros(t.shape[1:], dtype=U32)
+    for i in range(L):
+        u = t[i] + c
+        out.append(u & _MASK)
+        c = u >> W
+    return jnp.stack(out), c
+
+
+def _geq(a, b_limbs):
+    """a >= b (b given as static tuple of limb ints); returns bool batch."""
+    # Compare from most-significant limb down, branchlessly.
+    gt = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
+    lt = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
+    for i in range(a.shape[0] - 1, -1, -1):
+        bi = np.uint32(b_limbs[i])
+        gt = gt | (~lt & (a[i] > bi))
+        lt = lt | (~gt & (a[i] < bi))
+    return ~lt
+
+
+def _sub_limbs(a, b_limbs):
+    """a - b for static b limbs, assuming a >= b. Canonical in, canonical out."""
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=U32)
+    for i in range(a.shape[0]):
+        t = a[i] - np.uint32(b_limbs[i]) - borrow  # wraps in uint32
+        out.append(t & _MASK)
+        borrow = (t >> W) & np.uint32(1)  # wrapped values have high bits set
+    return jnp.stack(out)
+
+
+def _cond_sub_p(spec: FieldSpec, a, top=None):
+    """Reduce a (< 2p, canonical limbs, optional overflow bit `top`) to < p."""
+    ge = _geq(a, spec.p_limbs)
+    if top is not None:
+        ge = ge | (top > 0)
+    sub = _sub_limbs(a, spec.p_limbs)
+    return jnp.where(ge[None], sub, a)
+
+
+# ---------------------------------------------------------------------------
+# Ring ops
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def add(spec: FieldSpec, a, b):
+    t, c = _carry_propagate(a + b)  # limb sums < 2^17, safe
+    return _cond_sub_p(spec, t, top=c)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sub(spec: FieldSpec, a, b):
+    out = []
+    borrow = jnp.zeros(a.shape[1:], dtype=U32)
+    for i in range(spec.L):
+        t = a[i] - b[i] - borrow
+        out.append(t & _MASK)
+        borrow = (t >> W) & np.uint32(1)
+    d = jnp.stack(out)
+    # if borrowed, add p back
+    plus = []
+    carry = jnp.zeros(a.shape[1:], dtype=U32)
+    for i in range(spec.L):
+        u = d[i] + np.uint32(spec.p_limbs[i]) + carry
+        plus.append(u & _MASK)
+        carry = u >> W
+    return jnp.where((borrow > 0)[None], jnp.stack(plus), d)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def neg(spec: FieldSpec, a):
+    return sub(spec, zeros(spec, a.shape[1:]), a)
+
+
+def is_zero(spec: FieldSpec, a):
+    return jnp.all(a == 0, axis=0)
+
+
+def eq(spec: FieldSpec, a, b):
+    return jnp.all(a == b, axis=0)
+
+
+def select(mask, a, b):
+    """mask over batch dims: where(mask, a, b) with limb broadcast."""
+    return jnp.where(mask[None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def mont_mul(spec: FieldSpec, a, b):
+    """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p."""
+    L = spec.L
+    batch = a.shape[1:]
+    bshape = jnp.broadcast_shapes(batch, b.shape[1:])
+    a = jnp.broadcast_to(a, (L,) + bshape)
+    b = jnp.broadcast_to(b, (L,) + bshape)
+
+    # --- operand product into 2L+1 lazy columns ---------------------------
+    # Column k accumulates lo(i,j) for i+j=k and hi(i,j) for i+j+1=k; each
+    # contribution < 2^16 and there are <= 4L of them per column (including
+    # the REDC phase below): bound ~4L*2^16 ~ 2^22 for L=16 — safe in uint32.
+    t = jnp.zeros((2 * L + 1,) + bshape, dtype=U32)
+    for i in range(L):
+        prod = a[i] * b  # (L, *batch), each element < 2^32
+        t = t.at[i : i + L].add(prod & _MASK)
+        t = t.at[i + 1 : i + L + 1].add(prod >> W)
+
+    # --- column-lazy REDC --------------------------------------------------
+    p_vec = jnp.array(spec.p_limbs, dtype=U32).reshape((L,) + (1,) * len(bshape))
+    n0 = np.uint32(spec.n0)
+    for i in range(L):
+        m = ((t[i] & _MASK) * n0) & _MASK
+        mp = m[None] * p_vec  # (L, *batch)
+        t = t.at[i : i + L].add(mp & _MASK)
+        t = t.at[i + 1 : i + L + 1].add(mp >> W)
+        # t[i] is now ≡ 0 mod 2^16; fold its carry into the next column.
+        t = t.at[i + 1].add(t[i] >> W)
+
+    res, c = _carry_propagate(t[L : 2 * L])
+    top = c + t[2 * L]
+    return _cond_sub_p(spec, res, top=top)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def to_mont(spec: FieldSpec, a):
+    r2 = jnp.array(spec.r2_limbs, dtype=U32).reshape((spec.L,) + (1,) * (a.ndim - 1))
+    return mont_mul(spec, a, r2)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def from_mont(spec: FieldSpec, a):
+    one = jnp.zeros_like(a).at[0].set(np.uint32(1))
+    return mont_mul(spec, a, one)
+
+
+def one_mont(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    limbs = jnp.array(spec.one_limbs, dtype=U32)
+    arr = limbs.reshape((spec.L,) + (1,) * len(batch_shape))
+    return jnp.broadcast_to(arr, (spec.L,) + tuple(batch_shape))
+
+
+# ---------------------------------------------------------------------------
+# Exponentiation / inversion (Montgomery domain)
+# ---------------------------------------------------------------------------
+
+def _exp_bits(e: int, nbits: int) -> np.ndarray:
+    return np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def pow_const(spec: FieldSpec, a, e: int):
+    """a^e for a *static* Python-int exponent e >= 0 (Montgomery in/out).
+
+    Uses a lax.scan over the exponent bits (LSB-first square-and-multiply with
+    a running power) so the traced graph stays O(L) instead of O(L * nbits).
+    """
+    if e == 0:
+        return one_mont(spec, a.shape[1:])
+    nbits = e.bit_length()
+    bits = jnp.asarray(_exp_bits(e, nbits))
+
+    def body(carry, bit):
+        acc, base = carry
+        new_acc = select(bit > 0, mont_mul(spec, acc, base), acc)
+        new_base = mont_sqr(spec, base)
+        return (new_acc, new_base), None
+
+    acc0 = one_mont(spec, a.shape[1:])
+    (acc, _), _ = jax.lax.scan(body, (acc0, a), bits)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def inv(spec: FieldSpec, a):
+    """Fermat inverse a^(p-2); branchless & batch-friendly (inv(0) = 0)."""
+    return pow_const(spec, a, spec.p - 2)
+
+
+def pow_dyn(spec: FieldSpec, a, e_bits):
+    """a^e where e is a traced uint32 bit array of shape (nbits, *batch)."""
+
+    def body(carry, bit):
+        acc, base = carry
+        new_acc = select(bit > 0, mont_mul(spec, acc, base), acc)
+        new_base = mont_sqr(spec, base)
+        return (new_acc, new_base), None
+
+    acc0 = one_mont(spec, a.shape[1:])
+    (acc, _), _ = jax.lax.scan(body, (acc0, a), e_bits)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def batch_inv(spec: FieldSpec, a, axis: int = -1):
+    """Montgomery-trick batch inversion along a batch axis.
+
+    Elementwise a^{-1} using one Fermat inversion + O(n) muls:
+    inv(a[i]) = prefix[i-1] * suffix[i+1] * inv(total), computed with two
+    log-depth associative scans.  Zero entries map to zero.
+    """
+    ax = axis if axis >= 0 else a.ndim + axis
+    assert ax >= 1, "axis must be a batch axis (limb axis is 0)"
+    n = a.shape[ax]
+    zmask = is_zero(spec, a)
+    one_full = one_mont(spec, a.shape[1:])
+    safe = select(zmask, one_full, a)
+
+    mul = lambda x, y: mont_mul(spec, x, y)
+    prefix = jax.lax.associative_scan(mul, safe, axis=ax)  # prod a[0..i]
+    suffix = jax.lax.associative_scan(mul, safe, axis=ax, reverse=True)  # prod a[i..n-1]
+    total = jnp.take(prefix, jnp.array(n - 1), axis=ax)
+    total_inv = inv(spec, total)
+
+    pos = jnp.arange(n).reshape((1,) * ax + (n,) + (1,) * (a.ndim - ax - 1))
+    left = jnp.where(pos == 0, one_full, jnp.roll(prefix, 1, axis=ax))
+    right = jnp.where(pos == n - 1, one_full, jnp.roll(suffix, -1, axis=ax))
+    out = mul(mul(left, right), jnp.expand_dims(total_inv, ax))
+    return select(zmask, zeros(spec, a.shape[1:]), out)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def random(spec: FieldSpec, key, batch_shape=()):
+    """Uniform-ish field elements (standard domain) from a JAX PRNG key.
+
+    Samples 2L limbs and Montgomery-reduces: the result is (x * R^{-1}) mod p
+    for x uniform in [0, R^2), statistically near-uniform mod p.
+    """
+    wide = jax.random.randint(
+        key, (2 * spec.L,) + tuple(batch_shape), 0, BASE, dtype=jnp.uint32
+    )
+    lo, hi = wide[: spec.L], wide[spec.L :]
+    # value = lo + hi * R; reduce both halves below p, then lo + to_mont(hi)
+    # (to_mont multiplies by R in the standard domain).
+    lo_f = _mod_reduce_canonical(spec, lo)
+    hi_f = _mod_reduce_canonical(spec, hi)
+    return add(spec, lo_f, to_mont(spec, hi_f))
+
+
+def _mod_reduce_canonical(spec: FieldSpec, a):
+    """Reduce a canonical-limb value in [0, R) to [0, p): x -> x mod p via a
+    Montgomery round-trip (from_mont(to_mont(x))), which tolerates x >= p."""
+    return from_mont(spec, to_mont(spec, a))
