@@ -1,0 +1,201 @@
+"""Batched short-Weierstrass curve arithmetic in homogeneous projective
+coordinates with *complete* formulas (branchless — ideal for XLA/TPU).
+
+For curves y^2 = x^3 + b (a = 0: BN254 G1, G2 and the Fq12 curve), we use the
+complete addition/doubling formulas of Renes–Costello–Batina 2016
+(eprint 2015/1060, Algorithms 7 & 9).  Complete means the same straight-line
+code handles P+Q, P+P, P+O, O+Q and P+(-P) — no data-dependent control flow,
+so a whole batch of heterogeneous cases is one vector program.
+
+This replaces the reference's affine chord/tangent formulas with per-op field
+inversions and Option<>-based infinity branching
+(myzkp/src/modules/algebra/curve/curve.rs:56-161) and its per-scalar
+double-and-add (curve.rs:163-191) — both hostile to batching.
+
+A point batch is ``Point(x, y, z)`` where each coordinate is a field-element
+pytree for the supplied ops object (see field_ops.py); infinity is (0,1,0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Point(NamedTuple):
+    """Homogeneous projective point batch; coords are field pytrees."""
+
+    x: Any
+    y: Any
+    z: Any
+
+
+def infinity(F, batch_shape=()) -> Point:
+    return Point(F.zeros(batch_shape), F.one(batch_shape), F.zeros(batch_shape))
+
+
+def from_affine(F, x, y) -> Point:
+    return Point(x, y, F.one(F.batch_shape(x)))
+
+
+def is_infinity(F, p: Point):
+    return F.is_zero(p.z)
+
+
+def padd(F, b3, p: Point, q: Point) -> Point:
+    """Complete addition, a=0 (RCB16 Algorithm 7). b3 = 3*b as field const."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = F.mul(X1, X2)
+    t1 = F.mul(Y1, Y2)
+    t2 = F.mul(Z1, Z2)
+    t3 = F.mul(F.add(X1, Y1), F.add(X2, Y2))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.mul(F.add(Y1, Z1), F.add(Y2, Z2))
+    t4 = F.sub(t4, F.add(t1, t2))
+    X3 = F.mul(F.add(X1, Z1), F.add(X2, Z2))
+    Y3 = F.sub(X3, F.add(t0, t2))
+    X3 = F.add(t0, t0)
+    t0 = F.add(X3, t0)
+    t2 = F.mul(b3, t2)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul(b3, Y3)
+    X3 = F.mul(t4, Y3)
+    X3 = F.sub(F.mul(t3, t1), X3)
+    Y3 = F.mul(Y3, t0)
+    Y3 = F.add(F.mul(t1, Z3), Y3)
+    t0 = F.mul(t0, t3)
+    Z3 = F.add(F.mul(Z3, t4), t0)
+    return Point(X3, Y3, Z3)
+
+
+def pdbl(F, b3, p: Point) -> Point:
+    """Complete doubling, a=0 (RCB16 Algorithm 9)."""
+    X, Y, Z = p
+    t0 = F.sqr(Y)
+    Z3 = F.add(t0, t0)
+    Z3 = F.add(Z3, Z3)
+    Z3 = F.add(Z3, Z3)
+    t1 = F.mul(Y, Z)
+    t2 = F.sqr(Z)
+    t2 = F.mul(b3, t2)
+    X3 = F.mul(t2, Z3)
+    Y3 = F.add(t0, t2)
+    Z3 = F.mul(t1, Z3)
+    t1 = F.add(t2, t2)
+    t2 = F.add(t1, t2)
+    t0 = F.sub(t0, t2)
+    Y3 = F.mul(t0, Y3)
+    Y3 = F.add(X3, Y3)
+    t1 = F.mul(X, Y)
+    X3 = F.mul(t0, t1)
+    X3 = F.add(X3, X3)
+    return Point(X3, Y3, Z3)
+
+
+def pneg(F, p: Point) -> Point:
+    return Point(p.x, F.neg(p.y), p.z)
+
+
+def pselect(F, mask, p: Point, q: Point) -> Point:
+    return Point(
+        F.select(mask, p.x, q.x), F.select(mask, p.y, q.y), F.select(mask, p.z, q.z)
+    )
+
+
+def peq(F, b3, p: Point, q: Point):
+    """Projective equality: X1 Z2 == X2 Z1 and Y1 Z2 == Y2 Z1 (both inf ok)."""
+    both_inf = is_infinity(F, p) & is_infinity(F, q)
+    ex = F.eq(F.mul(p.x, q.z), F.mul(q.x, p.z))
+    ey = F.eq(F.mul(p.y, q.z), F.mul(q.y, p.z))
+    one_inf = is_infinity(F, p) ^ is_infinity(F, q)
+    return both_inf | (ex & ey & ~one_inf)
+
+
+def to_affine(F, p: Point, axis: int = -1):
+    """(x, y, inf_mask) with batch inversion of z along a batch axis."""
+    zinv = F.batch_inv(p.z, axis=axis)
+    return F.mul(p.x, zinv), F.mul(p.y, zinv), is_infinity(F, p)
+
+
+# ---------------------------------------------------------------------------
+# Scalar multiplication
+# ---------------------------------------------------------------------------
+
+def scalar_mul_const(F, b3, p: Point, e: int) -> Point:
+    """[e]P for a static host int e >= 0 (unrolled-free: scan over bits)."""
+    if e == 0:
+        return infinity(F, F.batch_shape(p.x))
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+
+    def body(carry, bit):
+        acc, base = carry
+        mask = bit > 0
+        acc = pselect(F, mask, padd(F, b3, acc, base), acc)
+        base = pdbl(F, b3, base)
+        return (acc, base), None
+
+    acc0 = infinity(F, F.batch_shape(p.x))
+    (acc, _), _ = jax.lax.scan(body, (acc0, p), bits)
+    return acc
+
+
+def scalar_mul_bits(F, b3, p: Point, bits) -> Point:
+    """[e]P where e is given as a traced LSB-first bit array.
+
+    bits: uint32 (nbits, *batch) broadcastable against the point batch.
+    """
+
+    def body(carry, bit):
+        acc, base = carry
+        acc = pselect(F, bit > 0, padd(F, b3, acc, base), acc)
+        base = pdbl(F, b3, base)
+        return (acc, base), None
+
+    acc0 = infinity(F, F.batch_shape(p.x))
+    (acc, _), _ = jax.lax.scan(body, (acc0, p), bits)
+    return acc
+
+
+def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
+    """EC sum of a point batch along an axis: log-depth pairwise reduction."""
+
+    def slice_pt(pt, start, size):
+        f = functools.partial(jax.lax.slice_in_dim, start_index=start,
+                              limit_index=start + size, axis=_leaf_axis(axis))
+        return jax.tree_util.tree_map(f, pt)
+
+    def leaf_len(pt):
+        leaf = jax.tree_util.tree_leaves(pt)[0]
+        return leaf.shape[_leaf_axis(axis)]
+
+    n = leaf_len(p)
+    while n > 1:
+        half = n // 2
+        lo = slice_pt(p, 0, half)
+        hi = slice_pt(p, half, half)
+        s = padd(F, b3, lo, hi)
+        if n % 2:
+            tail = slice_pt(p, 2 * half, 1)
+            s = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b], axis=_leaf_axis(axis)), s, tail
+            )
+        p = s
+        n = leaf_len(p)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.squeeze(a, axis=_leaf_axis(axis)), p
+    )
+
+
+def _leaf_axis(axis: int) -> int:
+    # leaves are limb arrays (L, *batch); batch axis k is leaf axis k+1
+    assert axis >= 0
+    return axis + 1

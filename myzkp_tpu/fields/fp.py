@@ -113,8 +113,10 @@ class Fp:
         return Fp(self.spec, jnp.flip(self.mont, axis=axis + 1))
 
     def sum(self, axis: int = 0) -> "Fp":
-        """Field sum along a batch axis via log-depth pairwise reduction."""
-        ax = axis + 1
+        """Field sum along a batch axis via log-depth pairwise reduction.
+
+        Negative axes refer to trailing batch dims (same index as leaf)."""
+        ax = axis + 1 if axis >= 0 else self.mont.ndim + axis
         m = self.mont
         n = m.shape[ax]
         spec = self.spec

@@ -174,10 +174,16 @@ def select(mask, a, b):
 def mont_mul(spec: FieldSpec, a, b):
     """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p."""
     L = spec.L
-    batch = a.shape[1:]
-    bshape = jnp.broadcast_shapes(batch, b.shape[1:])
-    a = jnp.broadcast_to(a, (L,) + bshape)
-    b = jnp.broadcast_to(b, (L,) + bshape)
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def _bc(x):
+        # right-align batch dims: (L, *bx) -> (L, *bshape)
+        bx = x.shape[1:]
+        x = x.reshape((L,) + (1,) * (len(bshape) - len(bx)) + bx)
+        return jnp.broadcast_to(x, (L,) + bshape)
+
+    a = _bc(a)
+    b = _bc(b)
 
     # --- operand product into 2L+1 lazy columns ---------------------------
     # Column k accumulates lo(i,j) for i+j=k and hi(i,j) for i+j+1=k; each
@@ -304,6 +310,22 @@ def batch_inv(spec: FieldSpec, a, axis: int = -1):
     right = jnp.where(pos == n - 1, one_full, jnp.roll(suffix, -1, axis=ax))
     out = mul(mul(left, right), jnp.expand_dims(total_inv, ax))
     return select(zmask, zeros(spec, a.shape[1:]), out)
+
+
+def to_bytes_batch(spec: FieldSpec, a) -> list:
+    """Canonical standard-domain limb array (L, n) -> list of fixed-width
+    little-endian byte strings (2L bytes each).  Vectorized via numpy —
+    used for Merkle leaves / transcript entries."""
+    arr = np.ascontiguousarray(np.asarray(a).astype(np.uint16).T)  # (n, L) u16
+    raw = arr.astype("<u2").tobytes()
+    w = 2 * spec.L
+    return [raw[i * w : (i + 1) * w] for i in range(arr.shape[0])]
+
+
+def from_bytes(spec: FieldSpec, bs: list) -> jax.Array:
+    """Inverse of to_bytes_batch: list of 2L-byte strings -> (L, n) limbs."""
+    arr = np.frombuffer(b"".join(bs), dtype="<u2").reshape(len(bs), spec.L)
+    return jnp.asarray(arr.T.astype(np.uint32))
 
 
 # ---------------------------------------------------------------------------

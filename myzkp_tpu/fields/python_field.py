@@ -402,57 +402,78 @@ class PyPoint:
         return "O" if self.inf else f"({self.x}, {self.y})"
 
 
-def line_eval(p1: PyPoint, p2: PyPoint, q: PyPoint):
-    """Evaluate the line through p1,p2 at q (parity: curve.rs:285-311)."""
-    assert not q.inf
-    if (not p1.inf) and (not p2.inf):
-        if p1.x == p2.x and p1.y != p2.y:
-            return q.x - p1.x
-        if p1.x == p2.x and p1.y == p2.y:
-            lam = (3 * p1.x * p1.x + p1.curve.a) / (2 * p1.y)
-        else:
-            lam = (p2.y - p1.y) / (p2.x - p1.x)
-        return (q.y - p1.y) - lam * (q.x - p1.x)
-    if not p1.inf:
-        return q.x - p1.x
-    if not p2.inf:
-        return q.x - p2.x
-    raise ValueError("both points at infinity")
+def _one_like(x):
+    """Multiplicative identity of x's field (works for PyFp and PyExt)."""
+    return x ** 0
+
+
+def line_slope(p: PyPoint, q: PyPoint):
+    """Chord/tangent slope (parity: curve.rs:56-70)."""
+    if p.x == q.x and p.y == q.y:
+        return (3 * p.x * p.x + p.curve.a) / (2 * p.y)
+    return (q.y - p.y) / (q.x - p.x)
+
+
+def get_lambda(p: PyPoint, q: PyPoint, r: PyPoint):
+    """Normalized Miller line function: line through P,Q over the vertical
+    through P+Q, evaluated at R (parity: curve.rs:285-311)."""
+    if p.inf or q.inf or r.inf:
+        # caller guarantees at least one finite coordinate exists somewhere;
+        # identity contribution
+        for pt in (p, q, r):
+            if not pt.inf:
+                return _one_like(pt.x)
+        raise ValueError("all points at infinity")
+    if (p == q and p.y == 0) or (p != q and p.x == q.x):
+        return r.x - p.x
+    slope = line_slope(p, q)
+    numerator = (r.y - p.y) - slope * (r.x - p.x)
+    denominator = r.x + p.x + q.x - slope * slope
+    return numerator / denominator
 
 
 def miller(p: PyPoint, q: PyPoint, m: int):
-    """Miller loop f_{m,P}(Q) over MSB-first bits of m (parity: curve.rs:313-339)."""
-    assert p != q
-    bits = bin(int(m))[2:]
-    # one coefficient field: derive "one" from p.x
-    one = p.x * p.x.inv() if hasattr(p.x, "inv") else p.x ** 0
+    """Miller loop; returns (f_{m,P}(Q), [m]P) (parity: curve.rs:313-339)."""
+    if p.inf or q.inf:
+        return None, p.curve.infinity()
+    if p == q:
+        return _one_like(p.x), p
+    one = _one_like(p.x)
     f = one
     t = p
+    bits = bin(int(m))[2:]
     for bit in bits[1:]:
-        f = f * f * line_eval(t, t, q)
+        f = f * f * get_lambda(t, t, q)
         t = t + t
         if bit == "1":
-            f = f * line_eval(t, p, q)
+            f = f * get_lambda(t, p, q)
             t = t + p
-    return f
+    return f, t
 
 
 def weil_pairing(p: PyPoint, q: PyPoint, m: int, s: PyPoint):
     """e(P,Q) via Weil reciprocity with auxiliary point S (curve.rs:341-358)."""
-    fp_qs = miller(p, q + s, m)
-    fp_s = miller(p, s, m)
-    fq_ps = miller(q, p + (-s), m)
-    fq_s = miller(q, -s, m)
+    if p.inf or q.inf:
+        return _one_like(s.x)
+    fp_qs, _ = miller(p, q + s, m)
+    fp_s, _ = miller(p, s, m)
+    fq_ps, _ = miller(q, p + (-s), m)
+    fq_s, _ = miller(q, -s, m)
     return (fp_qs / fp_s) / (fq_ps / fq_s)
 
 
 def tate_pairing(p: PyPoint, q: PyPoint, ell: int, k: int, field_order: int):
     """Reduced Tate pairing f^((q^k-1)/ell) (curve.rs:379-392)."""
-    f = miller(p, q, ell)
+    if p.inf or q.inf:
+        return None
+    f, _ = miller(p, q, ell)
     return f ** ((field_order**k - 1) // ell)
 
 
 def general_tate_pairing(p: PyPoint, q: PyPoint, ell: int, k: int, field_order: int, s: PyPoint):
     """Tate with auxiliary S: f_{P}(Q+S)/f_{P}(S), reduced (curve.rs:360-377)."""
-    f = miller(p, q + s, ell) / miller(p, s, ell)
-    return f ** ((field_order**k - 1) // ell)
+    if p.inf or q.inf:
+        return None
+    fp_qs, _ = miller(p, q + s, ell)
+    fp_s, _ = miller(p, s, ell)
+    return (fp_qs / fp_s) ** ((field_order**k - 1) // ell)

@@ -267,3 +267,174 @@ def evaluate_on_rou_domain(a: Fp, n: int) -> Fp:
 def interpolate_on_rou_domain(evals: Fp) -> Fp:
     """Coefficients of the unique poly with given values on <w_n>."""
     return intt(evals)
+
+
+# ---------------------------------------------------------------------------
+# Divide-and-conquer fast polynomial algebra over ARBITRARY point sets.
+#
+# Capability parity with myzkp/src/modules/algebra/ntt.rs: fast_zerofier
+# (:118-141), fast_evaluate (:143-183), fast_interpolate (:185-252),
+# fast_coset_divide (:271-330).  Re-designed for TPU: the reference recurses
+# point-by-point; here every subproduct-tree level is ONE batched NTT multiply
+# over all nodes of that level (leading batch axis = tree nodes), and the
+# remainder tree is a batched fixed-trip-count division per level.
+# ---------------------------------------------------------------------------
+
+def _zerofier_tree(xs: Fp) -> list[Fp]:
+    """Subproduct tree for a power-of-two point set.
+
+    levels[k]: batch shape (n/2^k, 2^k + 1) of monic zerofier coefficients.
+    """
+    spec = xs.spec
+    n = xs.shape[-1]
+    assert n & (n - 1) == 0
+    neg = (-xs).mont  # (L, n)
+    ones = limb.one_mont(spec, (n,))
+    lvl = Fp(spec, jnp.stack([neg, ones], axis=-1))  # (n, 2)
+    levels = [lvl]
+    while lvl.shape[0] > 1:
+        even = Fp(spec, lvl.mont[:, 0::2])
+        odd = Fp(spec, lvl.mont[:, 1::2])
+        lvl = fast_multiply(even, odd)
+        levels.append(lvl)
+    return levels
+
+
+def _pow2_chunks(n: int) -> list[int]:
+    """Binary decomposition of n, largest chunk first."""
+    out = []
+    b = 1 << (n.bit_length() - 1)
+    while n:
+        if n >= b:
+            out.append(b)
+            n -= b
+        b >>= 1
+    return out
+
+
+def fast_zerofier(xs: Fp) -> Fp:
+    """prod_i (X - x_i) -> (n+1) coefficients (parity: ntt.rs:118-141)."""
+    spec = xs.spec
+    n = xs.shape[-1]
+    chunks = _pow2_chunks(n)
+    acc = None
+    off = 0
+    for c in chunks:
+        z = _zerofier_tree(Fp(spec, xs.mont[..., off : off + c]))[-1]
+        z = Fp(spec, z.mont[..., 0, :])  # (c+1,)
+        acc = z if acc is None else fast_multiply(acc, z)
+        off += c
+    return acc
+
+
+def _fast_evaluate_pow2(coef: Fp, xs: Fp, tree: list[Fp] | None = None) -> Fp:
+    """Evaluate coef (nc,) at power-of-two point set xs (n,). Returns (n,)."""
+    spec = coef.spec
+    n = xs.shape[-1]
+    if n == 1:
+        from .poly import poly_eval
+
+        return poly_eval(coef, Fp(spec, xs.mont))
+    tree = tree or _zerofier_tree(xs)
+    from .poly import poly_divmod
+
+    # reduce modulo the root zerofier if needed
+    r = Fp(spec, coef.mont[:, None, :])  # (1, nc) batched over tree nodes
+    root = tree[-1]  # (1, n+1)
+    if coef.shape[-1] > n:
+        _, rem = poly_divmod(Fp(spec, r.mont), Fp(spec, root.mont), n)
+        r = rem
+    else:
+        pad = n - coef.shape[-1]
+        m = r.mont if pad == 0 else jnp.pad(r.mont, [(0, 0), (0, 0), (0, pad)])
+        r = Fp(spec, m)
+    # walk down the tree: at level k, residues have degree < 2^(k+1)
+    for k in range(len(tree) - 2, -1, -1):
+        divisors = tree[k]  # (m, 2^k+1)
+        width = 1 << k
+        r2 = Fp(spec, jnp.repeat(r.mont, 2, axis=1))  # (m, 2^{k+1})
+        _, rem = poly_divmod(r2, Fp(spec, divisors.mont), width)
+        r = rem  # (m, width)
+    return Fp(spec, r.mont[..., 0])  # (n,)
+
+
+def fast_evaluate(coef: Fp, xs: Fp) -> Fp:
+    """Multi-point evaluation at arbitrary points (parity: ntt.rs:143-183)."""
+    spec = coef.spec
+    n = xs.shape[-1]
+    chunks = _pow2_chunks(n)
+    outs = []
+    off = 0
+    for c in chunks:
+        outs.append(
+            _fast_evaluate_pow2(coef, Fp(spec, xs.mont[..., off : off + c])))
+        off += c
+    return Fp(spec, jnp.concatenate([o.mont for o in outs], axis=-1))
+
+
+def _fast_interpolate_pow2(xs: Fp, ys: Fp) -> Fp:
+    """Interpolate through a power-of-two point set. Returns (n,) coeffs."""
+    spec = xs.spec
+    n = xs.shape[-1]
+    if n == 1:
+        return Fp(spec, ys.mont)
+    tree = _zerofier_tree(xs)
+    root = Fp(spec, tree[-1].mont[..., 0, :])  # (n+1,)
+    # derivative Z'(X): coeff k of Z' = (k+1) * z_{k+1}
+    ks = Fp.from_int(spec, list(range(1, n + 1)))
+    zp = Fp(spec, root.mont[..., 1:]) * ks  # (n,)
+    denom = _fast_evaluate_pow2(zp, xs, tree)  # Z'(x_i)
+    w = ys * denom.batch_inv(axis=-1)  # (n,) weights
+    # combine up the tree: node polynomials start as constants w_i
+    cur = Fp(spec, w.mont[..., None])  # (n, 1)
+    for k in range(len(tree) - 1):
+        zs = tree[k]  # (m, 2^k+1)
+        cur_even = Fp(spec, cur.mont[:, 0::2])
+        cur_odd = Fp(spec, cur.mont[:, 1::2])
+        z_even = Fp(spec, zs.mont[:, 0::2])
+        z_odd = Fp(spec, zs.mont[:, 1::2])
+        cap = 1 << (k + 1)
+        left = fast_multiply(cur_even, z_odd, out_len=cap)
+        right = fast_multiply(cur_odd, z_even, out_len=cap)
+        cur = left + right
+    return Fp(spec, cur.mont[..., 0, :])  # (n,)
+
+
+def fast_interpolate(xs: Fp, ys: Fp) -> Fp:
+    """Interpolation through arbitrary points (parity: ntt.rs:185-252).
+
+    Non-power-of-two sizes fold their binary-decomposition chunks:
+    I_{A∪B} = I_A~ * Z_B + I_B~ * Z_A with I_A~ interpolating y_a / Z_B(a).
+    """
+    spec = xs.spec
+    n = xs.shape[-1]
+    if n & (n - 1) == 0:
+        return _fast_interpolate_pow2(xs, ys)
+    c = 1 << (n.bit_length() - 1)
+    xa, xb = Fp(spec, xs.mont[..., :c]), Fp(spec, xs.mont[..., c:])
+    ya, yb = Fp(spec, ys.mont[..., :c]), Fp(spec, ys.mont[..., c:])
+    za = fast_zerofier(xa)
+    zb = fast_zerofier(xb)
+    ya2 = ya * fast_evaluate(zb, xa).batch_inv(axis=-1)
+    yb2 = yb * fast_evaluate(za, xb).batch_inv(axis=-1)
+    ia = fast_interpolate(xa, ya2)
+    ib = fast_interpolate(xb, yb2)
+    out_len = n
+    t1 = fast_multiply(ia, zb, out_len=out_len)
+    t2 = fast_multiply(ib, za, out_len=out_len)
+    return t1 + t2
+
+
+def fast_coset_evaluate(a: Fp, offset: int, n: int) -> Fp:
+    """Alias of coset_evaluate (parity: ntt.rs:254-269)."""
+    return coset_evaluate(a, offset, n)
+
+
+def fast_coset_divide(lhs: Fp, rhs: Fp, offset: int, n: int) -> Fp:
+    """Exact polynomial division lhs / rhs via pointwise division on a coset
+    of size n (parity: ntt.rs:271-330). n must exceed deg(lhs)."""
+    spec = lhs.spec
+    lc = coset_evaluate(lhs, offset, n)
+    rc = coset_evaluate(rhs, offset, n)
+    q = lc * rc.batch_inv(axis=-1)
+    return coset_interpolate(q, offset)

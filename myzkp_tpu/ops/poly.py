@@ -336,8 +336,8 @@ def lagrange_interpolate(xs: Fp, ys: Fp) -> Fp:
     # weights: w_i = y_i / M'(x_i);  M'(x_i) = numer_i(x_i)
     mprime = poly_eval(Fp(spec, numer), Fp(spec, xs.mont[..., None]))  # (n_i, 1)
     mprime = Fp(spec, mprime.mont[..., 0])
-    w = ys * mprime.batch_inv(axis=-1)
-    return Fp(spec, limb.mont_mul(spec, numer, w.mont[..., None])).sum(axis=0)
+    w = ys * mprime.batch_inv(axis=-1)  # ys may carry extra leading batch dims
+    return Fp(spec, limb.mont_mul(spec, numer, w.mont[..., None])).sum(axis=-2)
 
 
 def interpolate_poly(xs: Fp, ys: Fp) -> Poly:

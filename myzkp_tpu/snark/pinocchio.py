@@ -1,0 +1,320 @@
+"""Pinocchio zk-SNARK: setup / prove / verify.
+
+Capability parity with myzkp/src/modules/zksnark/pinocchio.rs:
+  - setup with toxic waste s, alpha_{ell,r,o}, beta, eta, rho_{ell,r},
+    rho_o = rho_ell*rho_r; proving key of challenge vectors, s-power vector,
+    beta-checksum vector and t(s)-shift terms          pinocchio.rs:65-136
+  - prover ZK shifts delta_{ell,r,o}; 8-element proof  pinocchio.rs:164-193
+  - shifted h = (ell r - o)/t + ell d_r + r d_ell + t d_ell d_r - d_o
+                                                       pinocchio.rs:138-153
+  - 12-pairing / 5-check verifier                      pinocchio.rs:205-245
+
+TPU-first re-design: every proving-key vector is ONE batched device
+scalar-multiplication (256-step double-and-add over the whole vector), every
+prover accumulation is a device MSM (Pippenger), and h comes from the QAP's
+NTT/coset pipeline.  Only the verifier's 12 pairings run host-side.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..arith.qap import QAP
+from ..curves import bn254, msm as _msm, weierstrass as wst
+from ..fields import limb
+from ..fields.fp import Fp
+from ..fields.python_field import PyPoint
+from ..ops.poly import Poly
+
+
+def _g_multi(which: str, scalars_std) -> wst.Point:
+    """[x_i]G for a standard-domain limb scalar batch (L, n), batched."""
+    n = scalars_std.shape[1]
+    if which == "g1":
+        F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+        g = bn254.g1_points_to_device([bn254.g1_generator()] * n)
+    else:
+        F, b3 = bn254.g2_ops(), bn254.g2_b3(())
+        g = bn254.g2_points_to_device([bn254.g2_generator()] * n)
+    bits = _msm.scalar_bits(scalars_std)
+    return wst.scalar_mul_bits(F, b3, g, bits)
+
+
+def _std(x: Fp):
+    return limb.from_mont(x.spec, x.mont)
+
+
+def _cat(*fps: Fp) -> Fp:
+    spec = fps[0].spec
+    return Fp(spec, jnp.concatenate([f.mont for f in fps], axis=-1))
+
+
+def _split(pt: wst.Point, sizes):
+    outs, off = [], 0
+    for s in sizes:
+        outs.append(jax.tree_util.tree_map(lambda a, o=off, s=s: a[:, o : o + s], pt))
+        off += s
+    return outs
+
+
+@dataclass
+class PinocchioProofKey:
+    g1_ell_i: wst.Point  # (d,)
+    g2_r_i: wst.Point
+    g1_o_i: wst.Point
+    g1_alpha_ell_i: wst.Point
+    g2_alpha_r_i: wst.Point
+    g1_alpha_o_i: wst.Point
+    g1_sj: wst.Point  # (m+1,)
+    g1_checksum: wst.Point  # (d,)
+    g1_ell_ts: wst.Point  # singles (batch (1,))
+    g2_r_ts: wst.Point
+    g1_o_ts: wst.Point
+    g1_ell_alpha_ts: wst.Point
+    g2_r_alpha_ts: wst.Point
+    g1_o_alpha_ts: wst.Point
+    g1_ell_beta_ts: wst.Point
+    g1_r_beta_ts: wst.Point
+    g1_o_beta_ts: wst.Point
+
+
+@dataclass
+class PinocchioVerificationKey:
+    g2_alpha_ell: PyPoint
+    g1_alpha_r: PyPoint
+    g2_alpha_o: PyPoint
+    g1_beta_eta: PyPoint
+    g2_beta_eta: PyPoint
+    g2_t_s: PyPoint
+    g2_eta: PyPoint
+
+
+@dataclass
+class PinocchioProof:
+    g1_ell: PyPoint
+    g2_r: PyPoint
+    g1_o: PyPoint
+    g1_ell_prime: PyPoint
+    g2_r_prime: PyPoint
+    g1_o_prime: PyPoint
+    g1_h: PyPoint
+    g1_z: PyPoint
+
+
+def setup(qap: QAP, rng=None) -> tuple[PinocchioProofKey, PinocchioVerificationKey]:
+    """Parity: pinocchio.rs:65-136."""
+    rng = rng or _random
+    R = bn254.R
+    s = rng.randrange(1, R)
+    a_ell, a_r, a_o = (rng.randrange(1, R) for _ in range(3))
+    beta, eta = rng.randrange(1, R), rng.randrange(1, R)
+    rho_ell, rho_r = rng.randrange(1, R), rng.randrange(1, R)
+    rho_o = rho_ell * rho_r % R
+
+    spec = qap.spec
+    ell_s, r_s, o_s, t_s_fp = qap.eval_all_at(s)  # (d,) each, t scalar
+    t_s = int(t_s_fp.item())
+
+    mk = lambda v: Fp.from_int(spec, v)
+    d = qap.d
+    # Fr-side scalar batches (device)
+    ell_rho = ell_s * mk(rho_ell)
+    r_rho = r_s * mk(rho_r)
+    o_rho = o_s * mk(rho_o)
+    # checksum_i = beta*(rho_ell*ell_i(s) + rho_r*r_i(s) + rho_o*o_i(s))
+    # (pinocchio.rs:88-96: g1_ell = rho_ell G1, g1_r = rho_r G1, g1_o = rho_o G1)
+    checksum = (ell_rho + r_s * mk(rho_r) + o_rho) * mk(beta)
+
+    s_pows = Fp.from_int(spec, _geometric(s, qap.m + 1, R))
+
+    g1_scalars = _cat(
+        ell_rho,                       # g1_ell_i             (d)
+        o_rho,                         # g1_o_i               (d)
+        ell_rho * mk(a_ell),           # g1_alpha_ell_i       (d)
+        o_rho * mk(a_o),               # g1_alpha_o_i         (d)
+        checksum,                      # g1_checksum          (d)
+        s_pows,                        # g1_sj                (m+1)
+        mk([
+            rho_ell * t_s % R,                 # g1_ell_ts
+            rho_o * t_s % R,                   # g1_o_ts
+            rho_ell * t_s % R * a_ell % R,     # g1_ell_alpha_ts
+            rho_o * t_s % R * a_o % R,         # g1_o_alpha_ts
+            rho_ell * beta % R * t_s % R,      # g1_ell_beta_ts
+            rho_r * beta % R * t_s % R,        # g1_r_beta_ts
+            rho_o * beta % R * t_s % R,        # g1_o_beta_ts
+            a_r,                               # vk g1_alpha_r
+            beta * eta % R,                    # vk g1_beta_eta
+        ]),
+    )
+    g2_scalars = _cat(
+        r_rho,                         # g2_r_i               (d)
+        r_rho * mk(a_r),               # g2_alpha_r_i         (d)
+        mk([
+            rho_r * t_s % R,                   # g2_r_ts
+            rho_r * t_s % R * a_r % R,         # g2_r_alpha_ts
+            a_ell,                             # vk g2_alpha_ell
+            a_o,                               # vk g2_alpha_o
+            beta * eta % R,                    # vk g2_beta_eta
+            rho_o * t_s % R,                   # vk g2_t_s  (= t(s) * g2_o)
+            eta,                               # vk g2_eta
+        ]),
+    )
+
+    g1_all = _g_multi("g1", _std(g1_scalars))
+    g2_all = _g_multi("g2", _std(g2_scalars))
+
+    (g1_ell_i, g1_o_i, g1_a_ell_i, g1_a_o_i, g1_check, g1_sj, g1_singles
+     ) = _split(g1_all, [d, d, d, d, d, qap.m + 1, 9])
+    g2_r_i, g2_a_r_i, g2_singles = _split(g2_all, [d, d, 7])
+
+    g1s = _split(g1_singles, [1] * 9)
+    g2s = _split(g2_singles, [1] * 7)
+
+    pk = PinocchioProofKey(
+        g1_ell_i=g1_ell_i, g2_r_i=g2_r_i, g1_o_i=g1_o_i,
+        g1_alpha_ell_i=g1_a_ell_i, g2_alpha_r_i=g2_a_r_i, g1_alpha_o_i=g1_a_o_i,
+        g1_sj=g1_sj, g1_checksum=g1_check,
+        g1_ell_ts=g1s[0], g1_o_ts=g1s[1], g1_ell_alpha_ts=g1s[2],
+        g1_o_alpha_ts=g1s[3], g1_ell_beta_ts=g1s[4], g1_r_beta_ts=g1s[5],
+        g1_o_beta_ts=g1s[6],
+        g2_r_ts=g2s[0], g2_r_alpha_ts=g2s[1],
+    )
+    vk = PinocchioVerificationKey(
+        g2_alpha_ell=bn254.g2_points_to_host(g2s[2])[0],
+        g1_alpha_r=bn254.g1_points_to_host(g1s[7])[0],
+        g2_alpha_o=bn254.g2_points_to_host(g2s[3])[0],
+        g1_beta_eta=bn254.g1_points_to_host(g1s[8])[0],
+        g2_beta_eta=bn254.g2_points_to_host(g2s[4])[0],
+        g2_t_s=bn254.g2_points_to_host(g2s[5])[0],
+        g2_eta=bn254.g2_points_to_host(g2s[6])[0],
+    )
+    return pk, vk
+
+
+def _geometric(s: int, n: int, mod: int) -> list:
+    acc, out = 1, []
+    for _ in range(n):
+        out.append(acc)
+        acc = acc * s % mod
+    return out
+
+
+def _msm_g1(points: wst.Point, scalars_std) -> wst.Point:
+    return _msm.msm(bn254.g1_ops(), bn254.g1_b3(()), points, scalars_std)
+
+
+def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
+    return _msm.msm(bn254.g2_ops(), bn254.g2_b3(()), points, scalars_std)
+
+
+def _single(pt_batch: wst.Point) -> wst.Point:
+    """(1,) batch -> unbatched point."""
+    return jax.tree_util.tree_map(lambda a: a[:, 0], pt_batch)
+
+
+def _add1(F, b3, a: wst.Point, b: wst.Point) -> wst.Point:
+    return wst.padd(F, b3, a, b)
+
+
+def get_shifted_h(qap: QAP, assignment: Fp, d_ell: int, d_r: int, d_o: int) -> Poly:
+    """Parity: pinocchio.rs:138-153."""
+    spec = qap.spec
+    h = qap.h_poly(assignment)  # (<= m+1 coeffs)
+    ell, r, o = qap.combine(assignment)
+    n = qap.m + 1
+    res = (
+        h.pad_to(n)
+        + ell.scale_const(Fp.from_int(spec, d_r)).pad_to(n)
+        + r.scale_const(Fp.from_int(spec, d_ell)).pad_to(n)
+        + Poly(qap.t).scale_const(Fp.from_int(spec, d_ell * d_r % spec.p)).pad_to(n)
+        - Poly.from_int_coeffs(spec, [d_o]).pad_to(n)
+    )
+    return res
+
+
+def prove(assignment: Fp, pk: PinocchioProofKey, qap: QAP, rng=None
+          ) -> PinocchioProof:
+    """Parity: pinocchio.rs:164-193."""
+    rng = rng or _random
+    R = bn254.R
+    d_ell, d_r, d_o = (rng.randrange(1, R) for _ in range(3))
+    spec = qap.spec
+    a_std = _std(assignment)
+
+    F1, b31 = bn254.g1_ops(), bn254.g1_b3(())
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+
+    def shift(base_msm, ts_point, delta):
+        bits = _msm.scalar_bits(_msm.scalars_from_int(bn254.r_spec(), [delta]))
+        term = wst.scalar_mul_bits(
+            F1 if len(ts_point.x) != 2 else F2,
+            b31 if len(ts_point.x) != 2 else b32,
+            ts_point, bits)
+        return term
+
+    # G1 accumulations + delta shifts
+    def g1_part(vec, ts, delta):
+        acc = _msm_g1(vec, a_std)
+        sh = _single(shift(None, ts, delta))
+        return wst.padd(F1, b31, acc, sh)
+
+    def g2_part(vec, ts, delta):
+        acc = _msm_g2(vec, a_std)
+        sh = _single(shift(None, ts, delta))
+        return wst.padd(F2, b32, acc, sh)
+
+    g1_ell = g1_part(pk.g1_ell_i, pk.g1_ell_ts, d_ell)
+    g2_r = g2_part(pk.g2_r_i, pk.g2_r_ts, d_r)
+    g1_o = g1_part(pk.g1_o_i, pk.g1_o_ts, d_o)
+    g1_ell_p = g1_part(pk.g1_alpha_ell_i, pk.g1_ell_alpha_ts, d_ell)
+    g2_r_p = g2_part(pk.g2_alpha_r_i, pk.g2_r_alpha_ts, d_r)
+    g1_o_p = g1_part(pk.g1_alpha_o_i, pk.g1_o_alpha_ts, d_o)
+
+    h = get_shifted_h(qap, assignment, d_ell, d_r, d_o)
+    g1_h = _msm_g1(pk.g1_sj, _std(h.coef))
+
+    # z = d_ell*ell_beta_ts + d_r*r_beta_ts + d_o*o_beta_ts + <checksum, a>
+    z = _msm_g1(pk.g1_checksum, a_std)
+    for ts, delta in [(pk.g1_ell_beta_ts, d_ell), (pk.g1_r_beta_ts, d_r),
+                      (pk.g1_o_beta_ts, d_o)]:
+        z = wst.padd(F1, b31, z, _single(shift(None, ts, delta)))
+
+    def h1(pt):
+        return bn254.g1_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    def h2(pt):
+        return bn254.g2_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    return PinocchioProof(
+        g1_ell=h1(g1_ell), g2_r=h2(g2_r), g1_o=h1(g1_o),
+        g1_ell_prime=h1(g1_ell_p), g2_r_prime=h2(g2_r_p), g1_o_prime=h1(g1_o_p),
+        g1_h=h1(g1_h), g1_z=h1(z),
+    )
+
+
+def verify(proof: PinocchioProof, vk: PinocchioVerificationKey) -> bool:
+    """12 pairings / 5 checks (parity: pinocchio.rs:205-245)."""
+    e = bn254.optimal_ate_pairing
+    g1 = bn254.g1_generator()
+    g2 = bn254.g2_generator()
+
+    if e(proof.g1_ell, vk.g2_alpha_ell) != e(proof.g1_ell_prime, g2):
+        return False
+    if e(vk.g1_alpha_r, proof.g2_r) != e(g1, proof.g2_r_prime):
+        return False
+    if e(proof.g1_o, vk.g2_alpha_o) != e(proof.g1_o_prime, g2):
+        return False
+    lhs = e(proof.g1_ell, proof.g2_r)
+    rhs = e(proof.g1_h, vk.g2_t_s) * e(proof.g1_o, g2)
+    if lhs != rhs:
+        return False
+    p10 = e(proof.g1_ell + proof.g1_o, vk.g2_beta_eta)
+    p11 = e(vk.g1_beta_eta, proof.g2_r)
+    p12 = e(proof.g1_z, vk.g2_eta)
+    return p10 * p11 == p12

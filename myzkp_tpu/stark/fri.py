@@ -1,0 +1,351 @@
+"""FRI low-degree test over any prime field.
+
+Capability parity with myzkp/src/modules/zkstark/fri.rs:
+  - FRI{offset, omega, domain_length, expansion_factor,
+        num_colinearity_tests}                      fri.rs:63-69
+  - num_rounds (halve until <= expansion or 4*tests >= len)   fri.rs:86-97
+  - prove = commit (Merkle root -> FS alpha -> split-and-fold) + query
+    (reveal a/b/c points + paths per colinearity test)        fri.rs:105-256
+  - verify: recompute challenges, last-codeword degree check,
+    3-point colinearity, Merkle path checks; exports (index,value)
+    pairs for the caller (the STARK verifier)                 fri.rs:258-405
+  - index sampling via Blake2b(seed || counter)               fri.rs:19-60
+  - field constants M128 / M64(Goldilocks) + their power-of-two roots
+                                                             fri.rs:408-473
+
+TPU re-design: the codeword folds and domain-scaling run on device as
+full-width vector ops over Montgomery limb arrays (one fused expression per
+round instead of the reference's per-element BigInt loop, fri.rs:182-195);
+Merkle hashing and the Fiat-Shamir transcript stay host-side on canonical
+little-endian byte encodings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from ..fields import limb
+from ..fields.fp import Fp
+from ..fields.spec import FieldSpec, M64, M128
+from ..ops import ntt as _ntt
+from ..utils import merkle
+from ..utils.fiat_shamir import FiatShamirTransformer
+
+
+# ---------------------------------------------------------------------------
+# Index sampling (parity: fri.rs:19-60)
+# ---------------------------------------------------------------------------
+
+def sample_index(byte_array: bytes, size: int) -> int:
+    acc = 0
+    for b in byte_array:
+        acc = ((acc << 8) ^ b) & ((1 << 256) - 1)
+    return acc % size
+
+
+def sample_indices(seed: bytes, size: int, reduced_size: int, number: int
+                   ) -> list[int]:
+    assert number <= reduced_size, "cannot sample more indices than available"
+    indices, reduced_seen = [], []
+    counter = 0
+    while len(indices) < number:
+        h = hashlib.blake2b(
+            seed + counter.to_bytes(8, "little"), digest_size=32
+        ).digest()
+        index = sample_index(h, size)
+        reduced = index % reduced_size
+        counter += 1
+        if reduced not in reduced_seen:
+            indices.append(index)
+            reduced_seen.append(reduced)
+    return indices
+
+
+def sample_field(spec: FieldSpec, data: bytes) -> int:
+    """Hash bytes -> field element (parity: field.rs:272-278)."""
+    return int.from_bytes(data, "big") % spec.p
+
+
+# ---------------------------------------------------------------------------
+# Codeword <-> bytes
+# ---------------------------------------------------------------------------
+
+def codeword_bytes(cw: Fp) -> list[bytes]:
+    """Device codeword -> canonical per-element byte leaves."""
+    import numpy as np
+
+    std = np.asarray(limb.from_mont(cw.spec, cw.mont))
+    return limb.to_bytes_batch(cw.spec, std)
+
+
+def codeword_from_bytes(spec: FieldSpec, bs: list[bytes]) -> Fp:
+    return Fp(spec, limb.to_mont(spec, limb.from_bytes(spec, bs)))
+
+
+# ---------------------------------------------------------------------------
+# FRI proper
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FriQueryLayer:
+    a: tuple  # (values: list[bytes], paths: list[list[bytes]])
+    b: tuple
+    c: tuple
+
+
+@dataclass
+class FriProof:
+    top_level_indices: list
+    last_codeword: list  # list[bytes]
+    merkle_roots: list
+    revealed_layers: list
+
+
+@dataclass
+class FRI:
+    offset: int
+    omega: int
+    domain_length: int
+    expansion_factor: int
+    num_colinearity_tests: int
+    spec: FieldSpec
+
+    def num_rounds(self) -> int:
+        """Parity: fri.rs:86-97."""
+        codeword_length = self.domain_length
+        n = 0
+        while (codeword_length > self.expansion_factor
+               and 4 * self.num_colinearity_tests < codeword_length):
+            codeword_length //= 2
+            n += 1
+        return n
+
+    def eval_domain(self) -> list[int]:
+        """[offset * omega^i] host ints (parity: fri.rs:99-103)."""
+        p = self.spec.p
+        out, acc = [], self.offset % p
+        for _ in range(self.domain_length):
+            out.append(acc)
+            acc = acc * self.omega % p
+        return out
+
+    # -- fold (device) -------------------------------------------------------
+    def _fold(self, cw: Fp, alpha: int, offset: int, omega: int) -> Fp:
+        """cw' = 1/2 [ (1 + a/(o w^i)) cw_i + (1 - a/(o w^i)) cw_{i+n/2} ].
+
+        Parity: fri.rs:182-195, as one vectorized expression.
+        """
+        spec = self.spec
+        n = cw.shape[-1]
+        half = n // 2
+        inv_od = _ntt.geometric_series(
+            spec, pow(omega, -1, spec.p), half
+        ) * Fp.from_int(spec, pow(offset, -1, spec.p))
+        factor = inv_od * Fp.from_int(spec, alpha)  # alpha / (offset w^i)
+        one = Fp.ones(spec, (half,))
+        left, right = cw[:half], cw[half:]
+        half_inv = Fp.from_int(spec, pow(2, -1, spec.p))
+        return ((one + factor) * left + (one - factor) * right) * half_inv
+
+    # -- commit phase --------------------------------------------------------
+    def commit(self, codeword: Fp, proof_stream: FiatShamirTransformer):
+        """Returns (codewords [device Fp], roots, leaves_per_round).
+
+        Parity: fri.rs:144-208.
+        """
+        omega, offset = self.omega, self.offset
+        codewords, roots, leaves_all = [], [], []
+        rounds = self.num_rounds()
+        for r in range(rounds):
+            leaves = codeword_bytes(codeword)
+            root = merkle.commit(leaves)
+            roots.append(root)
+            proof_stream.push([root])
+            if r == rounds - 1:
+                break
+            alpha = sample_field(self.spec, proof_stream.prover_fiat_shamir(32))
+            codewords.append(codeword)
+            leaves_all.append(leaves)
+            codeword = self._fold(codeword, alpha, offset, omega)
+            omega = omega * omega % self.spec.p
+            offset = offset * offset % self.spec.p
+        last_leaves = codeword_bytes(codeword)
+        proof_stream.push(last_leaves)
+        codewords.append(codeword)
+        leaves_all.append(last_leaves)
+        return codewords, roots, leaves_all
+
+    # -- query phase ---------------------------------------------------------
+    def _reveal(self, cur_leaves, next_leaves, c_indices):
+        """Parity: fri.rs:210-256 (values are byte leaves here)."""
+        half = len(cur_leaves) // 2
+        a_idx = list(c_indices)
+        b_idx = [i + half for i in c_indices]
+        cur_tree = merkle.MerkleTree(cur_leaves)
+        next_tree = merkle.MerkleTree(next_leaves)
+        a = ([cur_leaves[i] for i in a_idx], [cur_tree.open(i) for i in a_idx])
+        b = ([cur_leaves[i] for i in b_idx], [cur_tree.open(i) for i in b_idx])
+        c = ([next_leaves[i] for i in c_indices],
+             [next_tree.open(i) for i in c_indices])
+        return FriQueryLayer(a=a, b=b, c=c)
+
+    def prove(self, codeword: Fp) -> FriProof:
+        """Parity: fri.rs:105-142."""
+        assert codeword.shape[-1] == self.domain_length
+        proof_stream = FiatShamirTransformer()
+        codewords, roots, leaves_all = self.commit(codeword, proof_stream)
+        top_level_indices = sample_indices(
+            proof_stream.prover_fiat_shamir(32),
+            len(leaves_all[1]) if len(leaves_all) > 1 else len(leaves_all[0]),
+            len(leaves_all[-1]),
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+        revealed = []
+        for i in range(len(leaves_all) - 1):
+            indices = [idx % (len(leaves_all[i]) // 2) for idx in indices]
+            revealed.append(self._reveal(leaves_all[i], leaves_all[i + 1], indices))
+        return FriProof(
+            top_level_indices=top_level_indices,
+            last_codeword=leaves_all[-1],
+            merkle_roots=roots,
+            revealed_layers=revealed,
+        )
+
+    # -- verification --------------------------------------------------------
+    def verify(self, proof: FriProof, polynomial_values: list) -> bool:
+        """Parity: fri.rs:258-405.  Appends (index, value_int) pairs of the
+        top-level codeword to polynomial_values."""
+        p = self.spec.p
+        proof_stream = FiatShamirTransformer()
+        omega, offset = self.omega, self.offset
+
+        alphas = []
+        for r in proof.merkle_roots:
+            proof_stream.push([r])
+            alphas.append(sample_field(self.spec,
+                                       proof_stream.prover_fiat_shamir(32)))
+
+        proof_stream.push(list(proof.last_codeword))
+        if proof.merkle_roots[-1] != merkle.commit(list(proof.last_codeword)):
+            return False
+
+        # low-degree check of the last codeword (host Lagrange on ints)
+        nlast = len(proof.last_codeword)
+        degree = (nlast // self.expansion_factor) - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(self.num_rounds() - 1):
+            last_omega = last_omega * last_omega % p
+            last_offset = last_offset * last_offset % p
+        assert pow(last_omega, -1, p) == pow(last_omega, nlast - 1, p), \
+            "omega does not have right order"
+        xs, acc = [], last_offset
+        for _ in range(nlast):
+            xs.append(acc)
+            acc = acc * last_omega % p
+        ys = [_int_from_le(b) for b in proof.last_codeword]
+        coeffs = _host_interpolate(xs, ys, p)
+        for x, y in zip(xs, ys):
+            if _host_eval(coeffs, x, p) != y:
+                return False
+        actual_deg = max([i for i, c in enumerate(coeffs) if c] or [0])
+        if any(coeffs) and actual_deg > degree:
+            return False
+
+        top_level_indices = sample_indices(
+            proof_stream.prover_fiat_shamir(32),
+            self.domain_length >> 1,
+            self.domain_length >> (self.num_rounds() - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(self.num_rounds() - 1):
+            half = self.domain_length >> (r + 1)
+            c_indices = [i % half for i in top_level_indices]
+            a_indices = list(c_indices)
+            b_indices = [i + half for i in c_indices]
+            layer = proof.revealed_layers[r]
+
+            for s in range(self.num_colinearity_tests):
+                ay = _int_from_le(layer.a[0][s])
+                by = _int_from_le(layer.b[0][s])
+                cy = _int_from_le(layer.c[0][s])
+                if r == 0:
+                    polynomial_values.append((a_indices[s], ay))
+                    polynomial_values.append((b_indices[s], by))
+                ax = offset * pow(omega, a_indices[s], p) % p
+                bx = offset * pow(omega, b_indices[s], p) % p
+                cx = alphas[r]
+                # colinearity: (cy-ay)(bx-ax) == (by-ay)(cx-ax)
+                if (cy - ay) * (bx - ax) % p != (by - ay) * (cx - ax) % p:
+                    return False
+
+            for i in range(self.num_colinearity_tests):
+                if not merkle.verify(proof.merkle_roots[r], a_indices[i],
+                                     layer.a[1][i], layer.a[0][i]):
+                    return False
+                if not merkle.verify(proof.merkle_roots[r], b_indices[i],
+                                     layer.b[1][i], layer.b[0][i]):
+                    return False
+                if not merkle.verify(proof.merkle_roots[r + 1], c_indices[i],
+                                     layer.c[1][i], layer.c[0][i]):
+                    return False
+
+            omega = omega * omega % p
+            offset = offset * offset % p
+
+        return True
+
+
+def _int_from_le(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def _host_interpolate(xs: list[int], ys: list[int], p: int) -> list[int]:
+    """O(n^2) Lagrange on host ints (verifier-side, tiny n)."""
+    n = len(xs)
+    coeffs = [0] * n
+    for i in range(n):
+        # basis poly prod_{j!=i} (X - x_j) / (x_i - x_j)
+        denom = 1
+        basis = [1]
+        for j in range(n):
+            if j == i:
+                continue
+            denom = denom * (xs[i] - xs[j]) % p
+            nb = [0] * (len(basis) + 1)
+            for k, c in enumerate(basis):
+                nb[k] = (nb[k] - c * xs[j]) % p
+                nb[k + 1] = (nb[k + 1] + c) % p
+            basis = nb
+        w = ys[i] * pow(denom, -1, p) % p
+        for k, c in enumerate(basis):
+            coeffs[k] = (coeffs[k] + w * c) % p
+    return coeffs
+
+
+def _host_eval(coeffs: list[int], x: int, p: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % p
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Field constants + root discovery (parity: fri.rs:408-473)
+# ---------------------------------------------------------------------------
+
+def get_nth_root_of_m128(n: int) -> int:
+    """Primitive n-th root of unity in M128 = 1 + 407*2^119.
+
+    Parity: fri.rs:423-447 (2^119 root 85408008396924667383611388730472331217,
+    squared down) — here recomputed via the generic two-adic search and pinned
+    by the test vector.
+    """
+    return _ntt.nth_root_of_unity(M128, n)
+
+
+def get_nth_root_of_m64(n: int) -> int:
+    """Primitive n-th root in Goldilocks (parity: fri.rs:449-473)."""
+    return _ntt.nth_root_of_unity(M64, n)

@@ -1,0 +1,170 @@
+"""Curve-layer tests: host pairings vs reference fixtures, device projective
+arithmetic vs the Python golden model, MSM (naive + Pippenger).
+
+Mirrors the reference's curve/bn128 test strategy
+(myzkp/src/modules/algebra/curve/curve.rs:410-556, bn128.rs:236-361).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from myzkp_tpu.curves import bn254, msm, weierstrass as wst
+from myzkp_tpu.fields.python_field import (
+    PyCurve, PyField, general_tate_pairing, miller, tate_pairing, weil_pairing)
+
+
+# ---------------------------------------------------------------------------
+# Host: toy-curve pairing fixtures (curve.rs:429-556)
+# ---------------------------------------------------------------------------
+
+def _toy():
+    F = PyField(631)
+    curve = PyCurve(F(30), F(34))
+    P = curve.point(F(36), F(60))
+    Q = curve.point(F(121), F(387))
+    S = curve.point(F(0), F(36))
+    return F, curve, P, Q, S
+
+
+def test_weil_pairing_known_vectors():
+    F, curve, P, Q, S = _toy()
+    fp_qs, _ = miller(P, Q + S, 5)
+    fp_s, _ = miller(P, S, 5)
+    assert int(fp_qs) == 103 and int(fp_s) == 219
+    assert int(fp_qs / fp_s) == 473
+    fq_ps, _ = miller(Q, P + (-S), 5)
+    fq_s, _ = miller(Q, -S, 5)
+    assert int(fq_ps) == 284 and int(fq_s) == 204 and int(fq_ps / fq_s) == 88
+    w = weil_pairing(P, Q, 5, S)
+    assert int(w) == 242
+    Pp = curve.point(F(617), F(5))
+    Qp = curve.point(F(121), F(244))
+    assert P * 3 == Pp and Q * 4 == Qp
+    wp = weil_pairing(Pp, Qp, 5, S)
+    assert int(wp) == 512 and int(w ** 12) == 512
+    assert int(weil_pairing(Pp, Pp, 5, S)) == 1
+
+
+def test_tate_pairing_compatibility():
+    F, curve, P, Q, S = _toy()
+    Pp, Qp = P * 3, Q * 4
+    t = general_tate_pairing(P, Q, 5, 1, 631, S)
+    tp = general_tate_pairing(Pp, Qp, 5, 1, 631, S)
+    assert t ** 12 == tp
+    t2 = tate_pairing(P, Q, 5, 1, 631)
+    t2p = tate_pairing(Pp, Qp, 5, 1, 631)
+    assert t2 ** 12 == t2p
+
+
+# ---------------------------------------------------------------------------
+# Host: BN254 group laws + optimal ate pairing (bn128.rs:236-361)
+# ---------------------------------------------------------------------------
+
+def test_bn254_generators_and_order():
+    g1, g2 = bn254.g1_generator(), bn254.g2_generator()
+    assert bn254.curve_g1.contains(g1.x, g1.y)
+    assert bn254.curve_g2.contains(g2.x, g2.y)
+    assert (g1 * bn254.R).inf
+    assert (g2 * bn254.R).inf
+
+
+def test_bn254_pairing_bilinearity():
+    g1, g2 = bn254.g1_generator(), bn254.g2_generator()
+    e = bn254.optimal_ate_pairing
+    p1 = e(g1, g2)
+    assert p1 != bn254.Fq12([1])
+    assert p1 * p1 == e(g1 * 2, g2) == e(g1, g2 * 2)
+    assert e(bn254.curve_g1.infinity(), g2) == bn254.Fq12([1])
+
+
+# ---------------------------------------------------------------------------
+# Device: projective complete formulas vs host golden model
+# ---------------------------------------------------------------------------
+
+def test_g1_device_ops_match_host():
+    g1 = bn254.g1_generator()
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    rng = random.Random(0)
+    ks = [rng.randrange(1, bn254.R) for _ in range(4)]
+    host_pts = [g1 * k for k in ks]
+    dev = bn254.g1_points_to_device(host_pts)
+    back = bn254.g1_points_to_host(wst.pdbl(F, b3, dev))
+    for hp, k in zip(back, ks):
+        assert hp == g1 * (2 * k)
+    rolled = wst.Point(*[jnp.roll(c, 1, axis=1) for c in dev])
+    back2 = bn254.g1_points_to_host(wst.padd(F, b3, dev, rolled))
+    for i in range(4):
+        assert back2[i] == host_pts[i] + host_pts[(i - 1) % 4]
+    # complete-formula edge cases
+    inf = wst.infinity(F, (4,))
+    assert bn254.g1_points_to_host(wst.padd(F, b3, dev, inf)) == host_pts
+    doubled = bn254.g1_points_to_host(wst.padd(F, b3, dev, dev))
+    assert doubled == [p + p for p in host_pts]
+    cancelled = bn254.g1_points_to_host(wst.padd(F, b3, dev, wst.pneg(F, dev)))
+    assert all(p.inf for p in cancelled)
+
+
+def test_g2_device_scalar_mul():
+    g2 = bn254.g2_generator()
+    F2 = bn254.g2_ops()
+    rng = random.Random(7)
+    ks = [rng.randrange(1, bn254.R) for _ in range(3)]
+    dev = bn254.g2_points_to_device([g2] * 3)
+    bits = msm.scalar_bits(msm.scalars_from_int(bn254.r_spec(), ks))
+    res = wst.scalar_mul_bits(F2, bn254.g2_b3(()), dev, bits)
+    back = bn254.g2_points_to_host(res)
+    for k, hp in zip(ks, back):
+        assert hp == g2 * k
+
+
+# ---------------------------------------------------------------------------
+# MSM: naive and Pippenger vs host accumulation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def msm_instance():
+    g1 = bn254.g1_generator()
+    rng = random.Random(1)
+    n = 37
+    ks = [rng.randrange(1, bn254.R) for _ in range(n)]
+    pts_host = [g1 * rng.randrange(1, bn254.R) for _ in range(n)]
+    exp = bn254.curve_g1.infinity()
+    for k, p in zip(ks, pts_host):
+        exp = exp + p * k
+    dev = bn254.g1_points_to_device(pts_host)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    return dev, sl, exp
+
+
+def _to_host_single(pt):
+    return bn254.g1_points_to_host(
+        jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+
+def test_msm_naive(msm_instance):
+    dev, sl, exp = msm_instance
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    assert _to_host_single(msm.msm_naive(F, b3, dev, sl)) == exp
+
+
+def test_msm_pippenger(msm_instance):
+    dev, sl, exp = msm_instance
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    assert _to_host_single(msm.msm_pippenger(F, b3, dev, sl)) == exp
+
+
+def test_msm_pippenger_edge_scalars():
+    """Zero scalars, tiny scalars, duplicate digits."""
+    g1 = bn254.g1_generator()
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    ks = [0, 1, 1, 2, bn254.R - 1, 0, 7, 7]
+    pts_host = [g1 * (i + 1) for i in range(8)]
+    exp = bn254.curve_g1.infinity()
+    for k, p in zip(ks, pts_host):
+        exp = exp + p * k
+    dev = bn254.g1_points_to_device(pts_host)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    assert _to_host_single(msm.msm_pippenger(F, b3, dev, sl)) == exp

@@ -1,0 +1,128 @@
+"""FRI / Merkle / Fiat-Shamir / Rescue-Prime tests.
+
+Mirrors the reference's test strategy: FRI accept + corrupted-codeword reject
+(myzkp/src/modules/zkstark/fri.rs:476-545), Merkle accept/reject
+(merkle.rs:69-92), Rescue-Prime known-answer vectors (rescueprime.rs:602-634).
+"""
+
+import random
+
+import pytest
+
+from myzkp_tpu.fields.fp import Fp
+from myzkp_tpu.fields.spec import M64, M128, FieldSpec
+from myzkp_tpu.ops import ntt
+from myzkp_tpu.stark import fri as fri_mod
+from myzkp_tpu.stark.rescueprime import RescuePrime
+from myzkp_tpu.utils import merkle
+from myzkp_tpu.utils.fiat_shamir import FiatShamirTransformer
+
+
+def test_merkle_accept_reject():
+    leaves = [b"leaf1", b"leaf2", b"leaf3", b"leaf4"]
+    root = merkle.commit(leaves)
+    proof = merkle.open(2, leaves)
+    assert merkle.verify(root, 2, proof, leaves[2])
+    assert not merkle.verify(root, 2, proof, leaves[3])
+
+
+def test_fiat_shamir_roundtrip_and_prefix():
+    fs = FiatShamirTransformer()
+    fs.push([b"abc"])
+    fs.push([b"de", b"f"])
+    ser = fs.serialize()
+    fs2 = FiatShamirTransformer.deserialize(ser)
+    assert fs2.objects == [[b"abc"], [b"de", b"f"]]
+    assert fs2.pull() == [b"abc"]
+    # verifier challenge over read prefix == prover challenge over that prefix
+    fs3 = FiatShamirTransformer()
+    fs3.push([b"abc"])
+    assert fs2.verifier_fiat_shamir(32) == fs3.prover_fiat_shamir(32)
+
+
+def test_m128_root_vector():
+    """fri.rs:408,423-447: p = 1 + 407*2^119, 2^119-th root."""
+    assert M128 == 1 + 407 * (1 << 119)
+    r = fri_mod.get_nth_root_of_m128(1 << 119)
+    assert pow(r, 1 << 119, M128) == 1
+    assert pow(r, 1 << 118, M128) != 1
+
+
+def test_m64_root_vector():
+    """fri.rs:409,449-473: Goldilocks 2^32-nd root."""
+    assert M64 == (1 << 64) - (1 << 32) + 1
+    r = fri_mod.get_nth_root_of_m64(1 << 32)
+    assert pow(r, 1 << 32, M64) == 1
+    assert pow(r, 1 << 31, M64) != 1
+
+
+@pytest.fixture(scope="module")
+def fri_setup():
+    spec = FieldSpec.make(M128)
+    n = 256
+    omega = ntt.nth_root_of_unity(M128, n)
+    f = fri_mod.FRI(offset=5, omega=omega, domain_length=n,
+                    expansion_factor=4, num_colinearity_tests=4, spec=spec)
+    rng = random.Random(0)
+    deg = n // 4 - 1
+    coeffs = [rng.randrange(M128) for _ in range(deg + 1)]
+    vals = []
+    for x in f.eval_domain():
+        acc = 0
+        for c in reversed(coeffs):
+            acc = (acc * x + c) % M128
+        vals.append(acc)
+    return f, vals
+
+
+def test_fri_accept_and_export(fri_setup):
+    f, vals = fri_setup
+    spec = f.spec
+    proof = f.prove(Fp.from_int(spec, vals))
+    pv = []
+    assert f.verify(proof, pv)
+    assert len(pv) == 2 * f.num_colinearity_tests
+    for idx, v in pv:
+        assert v == vals[idx]
+
+
+def test_fri_reject_corrupted(fri_setup):
+    f, vals = fri_setup
+    spec = f.spec
+    vals2 = list(vals)
+    vals2[7] = (vals2[7] + 1) % M128
+    proof = f.prove(Fp.from_int(spec, vals2))
+    assert not f.verify(proof, [])
+
+
+def test_rescue_prime_known_answers():
+    rp = RescuePrime()
+    assert rp.hash(1) == 244180265933090377212304188905974087294
+    assert rp.hash(57322816861100832358702415967512842988) == \
+        89633745865384635541695204788332415101
+    tr = rp.trace(1)
+    assert len(tr) == 28 and tr[-1][0] == rp.hash(1)
+
+
+def test_rescue_prime_air_vanishes_on_trace():
+    rp = RescuePrime()
+    om = ntt.nth_root_of_unity(rp.p, 32)
+    air = rp.transition_constraints(om)
+    tr = rp.trace(1)
+    for r in range(rp.n):
+        x = pow(om, r, rp.p)
+        point = [x] + tr[r] + tr[r + 1]
+        for a in air:
+            assert a.evaluate(point) == 0
+    # and does NOT vanish on a corrupted trace
+    bad = [list(row) for row in tr]
+    bad[5][0] = (bad[5][0] + 1) % rp.p
+    x = pow(om, 4, rp.p)
+    assert any(a.evaluate([x] + bad[4] + bad[5]) != 0 for a in air)
+
+
+def test_rescue_hash_batch_matches_host():
+    rp = RescuePrime()
+    inputs = [1, 2, 57322816861100832358702415967512842988, 0]
+    batch = rp.hash_batch(Fp.from_int(rp.spec, inputs))
+    assert [int(v) for v in batch.to_int()] == [rp.hash(x) for x in inputs]
