@@ -196,27 +196,27 @@ def batch_verify(pk: KZGPublicKey, us: list[int], ys: list[int],
     return lhs == rhs
 
 
-def prove_degree_bound(pk: KZGPublicKey, p: Poly, max_degree: int,
-                       degree: int | None = None) -> PyPoint:
-    """Commitment to X^(max_d - d) * p — degree-bound proof (kzg.rs:121-133)."""
-    d = p.degree() if degree is None else degree
-    shift = max_degree - d
+def prove_degree_bound(pk: KZGPublicKey, p: Poly, d: int) -> PyPoint:
+    """Commitment to X^(max_d - d) * p, proving deg(p) <= d against the SRS
+    top (parity: kzg.rs:121-133; max_d is the SRS degree, d the claimed
+    bound)."""
+    max_d = pk.degree
+    shift = max_d - d
     assert shift >= 0
-    shifted = Poly(Fp(p.spec, jnp.pad(p.coef.mont[..., : d + 1],
-                                      [(0, 0), (shift, 0)])))
+    shifted = Poly(Fp(p.spec, jnp.pad(
+        p.coef.mont[..., : d + 1], [(0, 0), (shift, 0)])))
     return commit(pk, shifted)
 
 
 def verify_degree_bound(pk: KZGPublicKey, commitment: PyPoint,
-                        degree_proof: PyPoint, max_degree: int,
-                        degree: int) -> bool:
-    """e(C, [s^(max_d-d)]G2) == e(proof, G2) (parity: kzg.rs:135-144).
+                        degree_proof: PyPoint, d: int) -> bool:
+    """e(proof, G2) == e(C, [s^(max_d-d)]G2) (parity: kzg.rs:135-144).
 
-    Needs full-G2 SRS.
+    Needs a full-G2 SRS.
     """
-    shift = max_degree - degree
+    max_d = pk.degree
     g2s = pk.host_g2()
-    assert shift < len(g2s), "needs full_g2 setup"
-    lhs = bn254.optimal_ate_pairing(commitment, g2s[shift])
-    rhs = bn254.optimal_ate_pairing(degree_proof, g2s[0])
+    assert max_d - d < len(g2s), "needs full_g2 setup"
+    lhs = bn254.optimal_ate_pairing(degree_proof, g2s[0])
+    rhs = bn254.optimal_ate_pairing(commitment, g2s[max_d - d])
     return lhs == rhs

@@ -179,21 +179,30 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
 
 
 def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
-    """sum_{b=1}^{2^c-1} b * B_b via bit-decomposition tree sums."""
+    """sum_{b=1}^{2^c-1} b * B_b via bit-decomposition tree sums.
+
+    Compile-lean: ONE batched tree-sum over a (c, 2^c) masked stack (bit j of
+    the bucket index selects the bucket into row j), then a fori_loop
+    double-and-add over the c per-bit totals.
+    """
     num = 1 << c
     idx = jnp.arange(num)
-    inf = wst.infinity(F, (num,))
-    # zero out bucket 0 by masking (it must not contribute)
-    acc = None
-    for j in range(c - 1, -1, -1):
-        m = ((idx >> j) & 1) == 1
-        sel = wst.pselect(F, m, buckets, inf)
-        tj = wst.tree_sum(F, b3, sel, axis=0)
-        if acc is None:
-            acc = tj
-        else:
-            acc = wst.padd(F, b3, wst.pdbl(F, b3, acc), tj)
-    return acc
+    bitmask = ((idx[None, :] >> jnp.arange(c)[:, None]) & 1) == 1  # (c, num)
+    stacked = _point_map(
+        lambda a: jnp.broadcast_to(a[:, None, :], a.shape[:1] + (c, num)),
+        buckets)
+    inf_wide = wst.infinity(F, (c, num))
+    sel = wst.pselect(F, bitmask, stacked, inf_wide)
+    totals = wst.tree_sum(F, b3, sel, axis=1)  # (c,) per-bit sums T_j
+
+    def body(k, acc):
+        j = c - 1 - k  # high bit first
+        tj = _point_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False),
+            totals)
+        return wst.padd(F, b3, wst.pdbl(F, b3, acc), Point(*tj))
+
+    return jax.lax.fori_loop(0, c, body, wst.infinity(F, ()))
 
 
 def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,

@@ -166,33 +166,39 @@ def scalar_mul_bits(F, b3, p: Point, bits) -> Point:
 
 
 def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
-    """EC sum of a point batch along an axis: log-depth pairwise reduction."""
+    """EC sum of a point batch along an axis: log-depth halving reduction.
 
-    def slice_pt(pt, start, size):
-        f = functools.partial(jax.lax.slice_in_dim, start_index=start,
-                              limit_index=start + size, axis=_leaf_axis(axis))
-        return jax.tree_util.tree_map(f, pt)
+    Compile-friendly: ONE complete-add in the traced graph, iterated by a
+    fori_loop with a data-dependent stride (entry 0 accumulates the total).
+    Non-power-of-two sizes are padded with the point at infinity.
+    """
+    ax = _leaf_axis(axis)
+    leaf0 = jax.tree_util.tree_leaves(p)[0]
+    n = leaf0.shape[ax]
+    if n == 1:
+        return jax.tree_util.tree_map(lambda a: jnp.squeeze(a, axis=ax), p)
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        inf = infinity(F, ())
+        p = jax.tree_util.tree_map(
+            lambda a, i: jnp.concatenate(
+                [a, jnp.broadcast_to(
+                    i.reshape(i.shape[:1] + (1,) * (a.ndim - 1)),
+                    a.shape[:ax] + (n2 - n,) + a.shape[ax + 1:])],
+                axis=ax),
+            p, inf)
 
-    def leaf_len(pt):
-        leaf = jax.tree_util.tree_leaves(pt)[0]
-        return leaf.shape[_leaf_axis(axis)]
+    steps = n2.bit_length() - 1
 
-    n = leaf_len(p)
-    while n > 1:
-        half = n // 2
-        lo = slice_pt(p, 0, half)
-        hi = slice_pt(p, half, half)
-        s = padd(F, b3, lo, hi)
-        if n % 2:
-            tail = slice_pt(p, 2 * half, 1)
-            s = jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b], axis=_leaf_axis(axis)), s, tail
-            )
-        p = s
-        n = leaf_len(p)
+    def body(k, pt):
+        stride = n2 >> (k + 1)
+        rolled = jax.tree_util.tree_map(
+            lambda a: jnp.roll(a, -stride, axis=ax), pt)
+        return padd(F, b3, pt, rolled)
+
+    out = jax.lax.fori_loop(0, steps, body, p)
     return jax.tree_util.tree_map(
-        lambda a: jnp.squeeze(a, axis=_leaf_axis(axis)), p
-    )
+        lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), out)
 
 
 def _leaf_axis(axis: int) -> int:

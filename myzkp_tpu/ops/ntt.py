@@ -385,14 +385,16 @@ def _fast_interpolate_pow2(xs: Fp, ys: Fp) -> Fp:
     zp = Fp(spec, root.mont[..., 1:]) * ks  # (n,)
     denom = _fast_evaluate_pow2(zp, xs, tree)  # Z'(x_i)
     w = ys * denom.batch_inv(axis=-1)  # (n,) weights
-    # combine up the tree: node polynomials start as constants w_i
-    cur = Fp(spec, w.mont[..., None])  # (n, 1)
+    # combine up the tree: node polynomials start as constants w_i.
+    # ys may carry extra leading batch dims (e.g. one row per register) —
+    # the node axis is always second-to-last.
+    cur = Fp(spec, w.mont[..., None])  # (..., n, 1)
     for k in range(len(tree) - 1):
         zs = tree[k]  # (m, 2^k+1)
-        cur_even = Fp(spec, cur.mont[:, 0::2])
-        cur_odd = Fp(spec, cur.mont[:, 1::2])
-        z_even = Fp(spec, zs.mont[:, 0::2])
-        z_odd = Fp(spec, zs.mont[:, 1::2])
+        cur_even = Fp(spec, cur.mont[..., 0::2, :])
+        cur_odd = Fp(spec, cur.mont[..., 1::2, :])
+        z_even = Fp(spec, zs.mont[..., 0::2, :])
+        z_odd = Fp(spec, zs.mont[..., 1::2, :])
         cap = 1 << (k + 1)
         left = fast_multiply(cur_even, z_odd, out_len=cap)
         right = fast_multiply(cur_odd, z_even, out_len=cap)
