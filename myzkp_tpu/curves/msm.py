@@ -131,25 +131,28 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
     prev_seq = jnp.moveaxis(prev, 1, 0)  # (K, B)
     step_idx = jnp.arange(K)
 
-    buckets0 = wst.infinity(F, (num_buckets + 1,))
     acc0 = wst.infinity(F, (B,))
 
-    def body(carry, xs):
-        acc, buckets = carry
+    def body(acc, xs):
         e, h, pd, t = xs
         flush = h & (t > 0)
         tgt = jnp.where(flush, pd, DUMMY)
-        # Scatter finished partials: real targets are unique across lanes
-        # (a digit segment ends strictly inside at most one lane).
-        buckets = _point_map(
-            lambda bk, ac: bk.at[:, tgt].set(ac, mode="drop"), buckets, acc
-        )
+        out = (acc, tgt)  # finished partial (if any) + its bucket index
         acc = wst.pselect(F, h, e, wst.padd(F, b3, acc, e))
-        return (acc, buckets), None
+        return acc, out
 
-    (acc, buckets), _ = jax.lax.scan(
-        body, (acc0, buckets0), (pts_seq, head_seq, prev_seq, step_idx)
+    acc, (flush_pts, flush_tgt) = jax.lax.scan(
+        body, acc0, (pts_seq, head_seq, prev_seq, step_idx)
     )
+    # One scatter for all mid-segment flushes.  Real targets are unique over
+    # the whole scan (a digit segment ends strictly inside at most one lane,
+    # at one step); dummies collide harmlessly on the DUMMY slot.
+    tgt_flat = flush_tgt.reshape(-1)  # (K*B,)
+    buckets0 = wst.infinity(F, (num_buckets + 1,))
+    buckets = _point_map(
+        lambda bk, fp: bk.at[:, tgt_flat].set(
+            jnp.moveaxis(fp, 0, 1).reshape(fp.shape[1], -1), mode="drop"),
+        buckets0, wst.Point(*flush_pts))
 
     # End-of-lane partials: segmented sum across lanes (sorted order), then
     # merge unique segment-end totals into buckets.

@@ -72,42 +72,65 @@ def zeros(spec: FieldSpec, batch_shape=()) -> jax.Array:
 # Carry handling primitives
 # ---------------------------------------------------------------------------
 
+
+def _broadcast_pair(L, a, b):
+    """Right-aligned batch broadcast of two (L, *batch) limb arrays."""
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+    def bc(x):
+        bx = x.shape[1:]
+        x = x.reshape((L,) + (1,) * (len(bshape) - len(bx)) + bx)
+        return jnp.broadcast_to(x, (L,) + bshape)
+
+    return bc(a), bc(b), bshape
+
+
 def _carry_propagate(t):
     """Fully propagate carries of a lazy column array (limb axis leading).
 
     Returns (limbs in canonical <2^16 form, final carry-out as uint32 batch).
     """
-    L = t.shape[0]
-    out = []
-    c = jnp.zeros(t.shape[1:], dtype=U32)
-    for i in range(L):
-        u = t[i] + c
-        out.append(u & _MASK)
-        c = u >> W
-    return jnp.stack(out), c
+
+    def step(c, ti):
+        u = ti + c
+        return u >> W, u & _MASK
+
+    c, out = jax.lax.scan(step, jnp.zeros(t.shape[1:], dtype=U32), t)
+    return out, c
 
 
 def _geq(a, b_limbs):
     """a >= b (b given as static tuple of limb ints); returns bool batch."""
     # Compare from most-significant limb down, branchlessly.
-    gt = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
-    lt = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
-    for i in range(a.shape[0] - 1, -1, -1):
-        bi = np.uint32(b_limbs[i])
-        gt = gt | (~lt & (a[i] > bi))
-        lt = lt | (~gt & (a[i] < bi))
+    bv = jnp.array(np.array(b_limbs, dtype=np.uint32)).reshape(
+        (a.shape[0],) + (1,) * (a.ndim - 1))
+
+    def step(carry, x):
+        gt, lt = carry
+        ai, bi = x
+        gt = gt | (~lt & (ai > bi))
+        lt = lt | (~gt & (ai < bi))
+        return (gt, lt), None
+
+    z = jnp.zeros(a.shape[1:], dtype=jnp.bool_)
+    (gt, lt), _ = jax.lax.scan(
+        step, (z, z), (jnp.flip(a, 0), jnp.flip(jnp.broadcast_to(bv, a.shape), 0)))
     return ~lt
 
 
 def _sub_limbs(a, b_limbs):
     """a - b for static b limbs, assuming a >= b. Canonical in, canonical out."""
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=U32)
-    for i in range(a.shape[0]):
-        t = a[i] - np.uint32(b_limbs[i]) - borrow  # wraps in uint32
-        out.append(t & _MASK)
-        borrow = (t >> W) & np.uint32(1)  # wrapped values have high bits set
-    return jnp.stack(out)
+    bv = jnp.broadcast_to(
+        jnp.array(np.array(b_limbs, dtype=np.uint32)).reshape(
+            (a.shape[0],) + (1,) * (a.ndim - 1)), a.shape)
+
+    def step(borrow, x):
+        ai, bi = x
+        t = ai - bi - borrow  # wraps in uint32
+        return (t >> W) & np.uint32(1), t & _MASK
+
+    _, out = jax.lax.scan(step, jnp.zeros(a.shape[1:], dtype=U32), (a, bv))
+    return out
 
 
 def _cond_sub_p(spec: FieldSpec, a, top=None):
@@ -125,27 +148,33 @@ def _cond_sub_p(spec: FieldSpec, a, top=None):
 
 @functools.partial(jax.jit, static_argnums=0)
 def add(spec: FieldSpec, a, b):
+    a, b, _ = _broadcast_pair(spec.L, a, b)
     t, c = _carry_propagate(a + b)  # limb sums < 2^17, safe
     return _cond_sub_p(spec, t, top=c)
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def sub(spec: FieldSpec, a, b):
-    out = []
-    borrow = jnp.zeros(a.shape[1:], dtype=U32)
-    for i in range(spec.L):
-        t = a[i] - b[i] - borrow
-        out.append(t & _MASK)
-        borrow = (t >> W) & np.uint32(1)
-    d = jnp.stack(out)
+    a, b, bshape = _broadcast_pair(spec.L, a, b)
+
+    def step(borrow, x):
+        ai, bi = x
+        t = ai - bi - borrow
+        return (t >> W) & np.uint32(1), t & _MASK
+
+    borrow, d = jax.lax.scan(step, jnp.zeros(bshape, dtype=U32), (a, b))
     # if borrowed, add p back
-    plus = []
-    carry = jnp.zeros(a.shape[1:], dtype=U32)
-    for i in range(spec.L):
-        u = d[i] + np.uint32(spec.p_limbs[i]) + carry
-        plus.append(u & _MASK)
-        carry = u >> W
-    return jnp.where((borrow > 0)[None], jnp.stack(plus), d)
+    pv = jnp.broadcast_to(
+        jnp.array(np.array(spec.p_limbs, dtype=np.uint32)).reshape(
+            (spec.L,) + (1,) * len(bshape)), d.shape)
+
+    def step2(carry, x):
+        di, pi = x
+        u = di + pi + carry
+        return u >> W, u & _MASK
+
+    _, plus = jax.lax.scan(step2, jnp.zeros(bshape, dtype=U32), (d, pv))
+    return jnp.where((borrow > 0)[None], plus, d)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -174,37 +203,43 @@ def select(mask, a, b):
 def mont_mul(spec: FieldSpec, a, b):
     """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p."""
     L = spec.L
-    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-
-    def _bc(x):
-        # right-align batch dims: (L, *bx) -> (L, *bshape)
-        bx = x.shape[1:]
-        x = x.reshape((L,) + (1,) * (len(bshape) - len(bx)) + bx)
-        return jnp.broadcast_to(x, (L,) + bshape)
-
-    a = _bc(a)
-    b = _bc(b)
+    a, b, bshape = _broadcast_pair(L, a, b)
 
     # --- operand product into 2L+1 lazy columns ---------------------------
     # Column k accumulates lo(i,j) for i+j=k and hi(i,j) for i+j+1=k; each
     # contribution < 2^16 and there are <= 4L of them per column (including
     # the REDC phase below): bound ~4L*2^16 ~ 2^22 for L=16 — safe in uint32.
-    t = jnp.zeros((2 * L + 1,) + bshape, dtype=U32)
-    for i in range(L):
-        prod = a[i] * b  # (L, *batch), each element < 2^32
-        t = t.at[i : i + L].add(prod & _MASK)
-        t = t.at[i + 1 : i + L + 1].add(prod >> W)
+    # One outer product + two segment-sums along the anti-diagonals keeps the
+    # traced graph tiny (vs an L-step slice/update loop) and the work in a
+    # few wide vector ops.
+    prod = a[:, None] * b[None, :]  # (L, L, *batch), each < 2^32
+    flat = prod.reshape((L * L,) + bshape)
+    seg = np.add.outer(np.arange(L), np.arange(L)).reshape(-1)  # i+j
+    t = jax.ops.segment_sum(flat & _MASK, jnp.asarray(seg),
+                            num_segments=2 * L + 1)
+    t = t + jax.ops.segment_sum(flat >> W, jnp.asarray(seg + 1),
+                                num_segments=2 * L + 1)
 
     # --- column-lazy REDC --------------------------------------------------
+    # Sequential in i (m_i depends on the updated column i), but expressed as
+    # a lax.scan with dynamic-start slices so the traced body is one step.
     p_vec = jnp.array(spec.p_limbs, dtype=U32).reshape((L,) + (1,) * len(bshape))
     n0 = np.uint32(spec.n0)
-    for i in range(L):
-        m = ((t[i] & _MASK) * n0) & _MASK
+
+    def redc_step(t, i):
+        ti = jax.lax.dynamic_index_in_dim(t, i, axis=0, keepdims=False)
+        m = ((ti & _MASK) * n0) & _MASK
         mp = m[None] * p_vec  # (L, *batch)
-        t = t.at[i : i + L].add(mp & _MASK)
-        t = t.at[i + 1 : i + L + 1].add(mp >> W)
-        # t[i] is now ≡ 0 mod 2^16; fold its carry into the next column.
-        t = t.at[i + 1].add(t[i] >> W)
+        win = jax.lax.dynamic_slice_in_dim(t, i, L + 1, axis=0)
+        add = jnp.concatenate([mp & _MASK, jnp.zeros((1,) + bshape, U32)]) \
+            + jnp.concatenate([jnp.zeros((1,) + bshape, U32), mp >> W])
+        win = win + add
+        # column i is now ≡ 0 mod 2^16; fold its carry into column i+1.
+        win = win.at[1].add(win[0] >> W)
+        t = jax.lax.dynamic_update_slice_in_dim(t, win, i, axis=0)
+        return t, None
+
+    t, _ = jax.lax.scan(redc_step, t, jnp.arange(L))
 
     res, c = _carry_propagate(t[L : 2 * L])
     top = c + t[2 * L]
