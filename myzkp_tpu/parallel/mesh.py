@@ -1,0 +1,197 @@
+"""Multi-chip sharding: device meshes, distributed NTT and MSM.
+
+The reference has NO multi-device parallelism of any kind (SURVEY.md section
+2: single-threaded Rust + one CUDA device, myzkp/examples/sumcheck/src/
+prover.rs:28-42).  This module is the TPU-native scaling layer it lacks:
+
+  - ``make_mesh``: a 1D jax.sharding.Mesh over all available devices
+    (ICI within a slice; works identically over virtual CPU devices).
+  - ``dist_ntt``: four-step Cooley-Tukey NTT: local column transforms,
+    twiddle scaling, an ``all_to_all`` transpose across the mesh axis, local
+    row transforms.  The only cross-chip traffic is the one transpose.
+  - ``dist_msm``: data-parallel Pippenger — each device runs the full
+    windowed bucket pipeline on its point shard, the per-device partial
+    sums are all-gathered (tiny: one point per device) and tree-reduced.
+  - ``dist_batch``: pure data parallelism over independent problem
+    instances (batch proving).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..curves import msm as _msm, weierstrass as wst
+from ..fields import limb
+from ..fields.fp import Fp
+from ..fields.spec import FieldSpec
+from ..ops import ntt as _ntt
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Distributed NTT (four-step decomposition)
+# ---------------------------------------------------------------------------
+
+def _twiddle_matrix(spec: FieldSpec, n: int, n1: int, n2: int,
+                    inverse: bool) -> np.ndarray:
+    """Montgomery (L, n1, n2) table of w_n^(k1*i2)."""
+    w = _ntt.nth_root_of_unity(spec.p, n)
+    if inverse:
+        w = pow(w, -1, spec.p)
+    out = np.zeros((spec.L, n1, n2), dtype=np.uint32)
+    for k1 in range(n1):
+        acc = 1
+        step = pow(w, k1, spec.p)
+        for i2 in range(n2):
+            v = spec.to_mont_int(acc)
+            for i in range(spec.L):
+                out[i, k1, i2] = (v >> (16 * i)) & 0xFFFF
+            acc = acc * step % spec.p
+    return out
+
+
+def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
+             inverse: bool = False):
+    """NTT of a (L, n) Montgomery limb array sharded over the mesh.
+
+    Decomposition: view i = i1*n2 + i2 as (n1, n2) with n2 sharded.
+      1. local NTT over i1  (columns; each device holds full columns after
+         the initial layout (L, n1, n2/D))
+      2. twiddle by w_n^(k1*i2)
+      3. all_to_all transpose -> (L, n2, n1/D)
+      4. local NTT over i2
+    Output: natural-order NTT, laid out as (L, n2, n1) (k = k1 + n1*k2 at
+    [.., k2, k1]); ``dist_intt`` inverts with the same traffic pattern.
+    """
+    n = a.shape[-1]
+    D = mesh.shape[axis]
+    n2 = _pick_n2(n, D)
+    n1 = n // n2
+    tw = jnp.asarray(_twiddle_matrix(spec, n, n1, n2, inverse))
+
+    A = a.reshape(a.shape[:-1] + (n1, n2))
+
+    def local(block, tw_block):
+        # block: (L, n1, n2/D) — NTT over axis -2 (i1) via moveaxis
+        x = jnp.swapaxes(block, -1, -2)  # (L, n2/D, n1)
+        x = _ntt._ntt_dif(spec, x, inverse)
+        perm = jnp.asarray(_ntt._bitrev_perm(n1))
+        x = jnp.take(x, perm, axis=-1)  # natural order over k1
+        x = jnp.swapaxes(x, -1, -2)  # (L, n1, n2/D)
+        x = limb.mont_mul(spec, x, tw_block)
+        # transpose across devices: (L, n1, n2/D) -> (L, n2, n1/D)
+        x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
+                               tiled=True)
+        # now (L, n1/D, n2): NTT over i2 (last axis)
+        y = _ntt._ntt_dif(spec, x, inverse)
+        perm2 = jnp.asarray(_ntt._bitrev_perm(n2))
+        y = jnp.take(y, perm2, axis=-1)  # (L, n1/D, n2) over k2
+        return jnp.swapaxes(y, -1, -2)  # (L, n2, n1/D)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis)),
+        out_specs=P(None, None, axis),
+        check_rep=False,
+    )
+    return f(A, tw), (n1, n2)
+
+
+def _pick_n2(n: int, d: int) -> int:
+    """Largest power-of-two split n = n1*n2 with d | n2 and n1, n2 >= d."""
+    n2 = 1 << (n.bit_length() // 2)
+    while n2 % d:
+        n2 *= 2
+    assert n % n2 == 0
+    return n2
+
+
+def dist_ntt_to_natural(spec: FieldSpec, sharded_out, n1: int, n2: int):
+    """Gather a dist_ntt output (L, n2, n1) into natural order (L, n).
+
+    natural[k1 + n1*k2] = out[.., k2, k1], so a row-major flatten of the
+    (n2, n1) trailing axes is already natural order."""
+    arr = jnp.asarray(sharded_out)
+    return arr.reshape(arr.shape[:-2] + (n1 * n2,))
+
+
+# ---------------------------------------------------------------------------
+# Distributed MSM
+# ---------------------------------------------------------------------------
+
+def dist_msm(F, b3, points: wst.Point, s_limbs, mesh: Mesh,
+             axis: str = "shard", c: int | None = None,
+             K: int | None = None) -> wst.Point:
+    """Data-parallel Pippenger over the mesh point shards.
+
+    points: (n,) batch with n divisible by the mesh size; each device runs
+    the full bucket pipeline on its shard and the D partial sums are
+    all-gathered and tree-reduced (log D complete-adds, replicated).
+    """
+    n = s_limbs.shape[1]
+    D = mesh.shape[axis]
+    assert n % D == 0, "point count must divide the mesh"
+
+    def local(pt_x, pt_y, pt_z, sl):
+        part = _msm.msm_pippenger(F, b3, wst.Point(pt_x, pt_y, pt_z), sl,
+                                  c=c, K=K)
+        gathered = jax.tree_util.tree_map(
+            lambda v: jnp.moveaxis(jax.lax.all_gather(v, axis), 0, 1), part)
+        res = wst.tree_sum(F, b3, wst.Point(*gathered), axis=0)
+        return tuple(res)  # plain tuple: must match out_specs' pytree
+
+    pspec = _point_pspec(points, axis)
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(pspec[0], pspec[1], pspec[2], P(None, axis)),
+        out_specs=_point_pspec_out(points),
+        check_rep=False,
+    )
+    return wst.Point(*f(points.x, points.y, points.z, s_limbs))
+
+
+def _point_pspec(points: wst.Point, axis: str):
+    def spec_for(coord):
+        if isinstance(coord, tuple):
+            return tuple(P(None, axis) for _ in coord)
+        return P(None, axis)
+
+    return tuple(spec_for(c) for c in points)
+
+
+def _point_pspec_out(points: wst.Point):
+    def spec_for(coord):
+        if isinstance(coord, tuple):
+            return tuple(P(None) for _ in coord)
+        return P(None)
+
+    return tuple(spec_for(c) for c in points)
+
+
+# ---------------------------------------------------------------------------
+# Batch data parallelism
+# ---------------------------------------------------------------------------
+
+def dist_batch(fn, mesh: Mesh, axis: str = "shard"):
+    """Wrap fn(batch_leaf...) to run sharded over the leading batch axis."""
+
+    def wrapped(*args):
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=tuple(P(axis) for _ in args),
+            out_specs=P(axis),
+        )(*args)
+
+    return wrapped
