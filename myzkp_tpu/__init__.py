@@ -13,7 +13,12 @@ import jax as _jax
 # dominate cold-start; caching them makes reruns near-instant.
 _cache_dir = _os.environ.get("MYZKP_TPU_CACHE", "/tmp/jax_zkp_cache")
 if _cache_dir:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    try:  # namespace by platform so CPU/TPU executables never mix
+        _plat = _jax.default_backend()
+    except Exception:
+        _plat = "unknown"
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.path.join(_cache_dir, _plat))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 __version__ = "0.1.0"

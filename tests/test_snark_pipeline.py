@@ -1,0 +1,81 @@
+"""R1CS -> QAP -> Pinocchio end-to-end (device MSM prover, host pairing
+verifier).
+
+Mirrors myzkp/src/modules/arithmetization/{r1cs,qap}.rs tests and
+zksnark/pinocchio.rs:257-391 (accept + wrong-witness reject).
+"""
+
+import random
+
+import pytest
+
+from myzkp_tpu.arith.qap import QAP
+from myzkp_tpu.arith.r1cs import R1CS
+from myzkp_tpu.curves import bn254
+from myzkp_tpu.fields.fp import Fp
+from myzkp_tpu.ops.poly import Poly
+from myzkp_tpu.snark import pinocchio as pin
+
+LEFT = [[0, 0, 1, 0, 0, 0, 0, 0],
+        [0, 0, 0, 0, 1, 0, 0, 0],
+        [0, 0, 0, 0, 0, 0, 1, 0]]
+RIGHT = [[0, 0, 0, 1, 0, 0, 0, 0],
+         [0, 0, 0, 0, 0, 1, 0, 0],
+         [0, 0, 0, 0, 0, 0, 0, 1]]
+OUT = [[0, 0, 0, 0, 0, 0, 1, 0],
+       [0, 0, 0, 0, 0, 0, 0, 1],
+       [0, 1, 0, 0, 0, 0, 0, 0]]
+WITNESS = [1, 210, 2, 3, 5, 7, 6, 35]
+WRONG = [1, 210, 2, 3, 5, 7, 6, 36]
+
+
+@pytest.fixture(scope="module")
+def r1cs():
+    return R1CS.from_ints(bn254.r_spec(), LEFT, RIGHT, OUT)
+
+
+def test_r1cs_satisfaction(r1cs):
+    spec = bn254.r_spec()
+    assert r1cs.is_satisfied(Fp.from_int(spec, WITNESS))
+    assert not r1cs.is_satisfied(Fp.from_int(spec, WRONG))
+
+
+def test_qap_divisibility(r1cs):
+    spec = bn254.r_spec()
+    qap = QAP.from_r1cs(r1cs)
+    a = Fp.from_int(spec, WITNESS)
+    h = qap.h_poly(a)
+    ell, r, o = qap.combine(a)
+    lhs = [int(v) for v in (h * Poly(qap.t)).to_int()]
+    rhs = [int(v) for v in (ell * r - o.pad_to(2 * qap.m - 1)).to_int()]
+    n = max(len(lhs), len(rhs))
+    assert lhs + [0] * (n - len(lhs)) == rhs + [0] * (n - len(rhs))
+
+
+def test_qap_rou_domain():
+    """rou-domain QAP: interpolation via INTT, t = X^m - 1, coset h."""
+    spec = bn254.r_spec()
+    # pad to m=4 constraints (power of two) with a trivially-true constraint
+    left = LEFT + [[0] * 8]
+    right = RIGHT + [[0] * 8]
+    out = OUT + [[0] * 8]
+    r1cs4 = R1CS.from_ints(spec, left, right, out)
+    qap = QAP.from_r1cs(r1cs4, domain="rou")
+    a = Fp.from_int(spec, WITNESS)
+    h = qap.h_poly(a)
+    ell, r, o = qap.combine(a)
+    lhs = [int(v) for v in (h * Poly(qap.t)).to_int()]
+    rhs = [int(v) for v in (ell * r - o.pad_to(2 * qap.m - 1)).to_int()]
+    n = max(len(lhs), len(rhs))
+    assert lhs + [0] * (n - len(lhs)) == rhs + [0] * (n - len(rhs))
+
+
+def test_pinocchio_accept_reject(r1cs):
+    spec = bn254.r_spec()
+    qap = QAP.from_r1cs(r1cs)
+    rng = random.Random(3)
+    pk, vk = pin.setup(qap, rng=rng)
+    proof = pin.prove(Fp.from_int(spec, WITNESS), pk, qap, rng=rng)
+    assert pin.verify(proof, vk)
+    bad = pin.prove(Fp.from_int(spec, WRONG), pk, qap, rng=rng)
+    assert not pin.verify(bad, vk)
