@@ -107,36 +107,45 @@ def _gather_point(pt: Point, idx) -> Point:
 
 def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
                        K: int) -> Point:
-    """Bucket sums for one window.
+    """Bucket sums for G windows at once.
 
-    pts_sorted: (n,) point batch in digit-sorted order; d_sorted: (n,) int32.
-    Returns bucket point batch (num_buckets,) (bucket 0 = garbage/unused).
+    pts_sorted: (G, n) point batch, each window row in digit-sorted order;
+    d_sorted: (G, n) int32.  Returns bucket batch (G, num_buckets) (bucket 0 =
+    garbage/unused).  Batching the window axis through the K-step scan keeps
+    every complete-add wide enough to saturate the VPU / hit the Pallas
+    mont_mul tile, instead of scanning windows one by one.
     """
-    n = d_sorted.shape[0]
+    G, n = d_sorted.shape
     assert n % K == 0
     B = n // K
-    DUMMY = num_buckets  # scatter target for masked-off lanes
+    slots = num_buckets + 1  # +1 per-window dummy slot, dropped at the end
+    w_off = (jnp.arange(G) * slots)[:, None]  # (G, 1)
 
-    d2 = d_sorted.reshape(B, K)
-    prev = jnp.concatenate([d2[:, :1], d2[:, :-1]], axis=1)  # prev within lane
+    def dummy_tgt(real_tgt, flush):
+        # global (flattened window-major) bucket index; dummies land on the
+        # window's own slot `num_buckets`, sliced off after the scatter
+        return jnp.where(flush, real_tgt, num_buckets) + w_off
+
+    d2 = d_sorted.reshape(G, B, K)
+    prev = jnp.concatenate([d2[..., :1], d2[..., :-1]], axis=-1)
     head = jnp.concatenate(
-        [jnp.ones((B, 1), bool), d2[:, 1:] != d2[:, :-1]], axis=1
+        [jnp.ones((G, B, 1), bool), d2[..., 1:] != d2[..., :-1]], axis=-1
     )
 
     # xs for the scan: step-major
     pts_seq = _point_map(
-        lambda a: jnp.moveaxis(a.reshape(a.shape[0], B, K), 2, 0), pts_sorted
-    )  # leaves (K, L, B)
-    head_seq = jnp.moveaxis(head, 1, 0)  # (K, B)
-    prev_seq = jnp.moveaxis(prev, 1, 0)  # (K, B)
+        lambda a: jnp.moveaxis(a.reshape(a.shape[0], G, B, K), 3, 0), pts_sorted
+    )  # leaves (K, L, G, B)
+    head_seq = jnp.moveaxis(head, 2, 0)  # (K, G, B)
+    prev_seq = jnp.moveaxis(prev, 2, 0)  # (K, G, B)
     step_idx = jnp.arange(K)
 
-    acc0 = wst.infinity(F, (B,))
+    acc0 = wst.infinity(F, (G, B))
 
     def body(acc, xs):
         e, h, pd, t = xs
         flush = h & (t > 0)
-        tgt = jnp.where(flush, pd, DUMMY)
+        tgt = dummy_tgt(pd, flush)
         out = (acc, tgt)  # finished partial (if any) + its bucket index
         acc = wst.pselect(F, h, e, wst.padd(F, b3, acc, e))
         return acc, out
@@ -144,11 +153,11 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
     acc, (flush_pts, flush_tgt) = jax.lax.scan(
         body, acc0, (pts_seq, head_seq, prev_seq, step_idx)
     )
-    # One scatter for all mid-segment flushes.  Real targets are unique over
-    # the whole scan (a digit segment ends strictly inside at most one lane,
-    # at one step); dummies collide harmlessly on the DUMMY slot.
-    tgt_flat = flush_tgt.reshape(-1)  # (K*B,)
-    buckets0 = wst.infinity(F, (num_buckets + 1,))
+    # One scatter for all mid-segment flushes.  Real targets are unique per
+    # window over the whole scan (a digit segment ends strictly inside at
+    # most one lane, at one step); dummies collide harmlessly per window.
+    tgt_flat = flush_tgt.reshape(-1)  # (K*G*B,)
+    buckets0 = wst.infinity(F, (G * slots,))
     buckets = _point_map(
         lambda bk, fp: bk.at[:, tgt_flat].set(
             jnp.moveaxis(fp, 0, 1).reshape(fp.shape[1], -1), mode="drop"),
@@ -156,10 +165,10 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
 
     # End-of-lane partials: segmented sum across lanes (sorted order), then
     # merge unique segment-end totals into buckets.
-    d_end = d2[:, -1]  # (B,)
+    d_end = d2[..., -1]  # (G, B)
     seg_head = jnp.concatenate(
-        [jnp.ones((1,), bool), d_end[1:] != d_end[:-1]]
-    ).reshape(1, B)
+        [jnp.ones((G, 1), bool), d_end[:, 1:] != d_end[:, :-1]], axis=-1
+    ).reshape(1, G, B)
 
     def comb(a, b):
         v1, f1 = a[:-1], a[-1]
@@ -169,49 +178,69 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
         return tuple(v) + (f1 | f2,)
 
     leaves = tuple(acc) + (seg_head.astype(jnp.uint32),)
-    scanned = jax.lax.associative_scan(comb, leaves, axis=1)
+    scanned = jax.lax.associative_scan(comb, leaves, axis=2)
     seg_total = Point(*scanned[:-1])
-    is_end = jnp.concatenate([d_end[:-1] != d_end[1:], jnp.ones((1,), bool)])
-    tgt = jnp.where(is_end, d_end, DUMMY)
-    cur = _point_map(lambda bk: jnp.take(bk, tgt, axis=1), buckets)
+    is_end = jnp.concatenate(
+        [d_end[:, :-1] != d_end[:, 1:], jnp.ones((G, 1), bool)], axis=-1)
+    tgt = dummy_tgt(d_end, is_end).reshape(-1)  # (G*B,)
+    cur = _point_map(
+        lambda bk: jnp.take(bk, tgt, axis=1).reshape(
+            bk.shape[0], G, B), buckets)
     merged = wst.padd(F, b3, Point(*cur), seg_total)
     buckets = _point_map(
-        lambda bk, mg: bk.at[:, tgt].set(mg, mode="drop"), buckets, merged
+        lambda bk, mg: bk.at[:, tgt].set(
+            mg.reshape(mg.shape[0], G * B), mode="drop"),
+        buckets, merged,
     )
-    return _point_map(lambda bk: bk[:, :num_buckets], buckets)
+    return _point_map(
+        lambda bk: bk.reshape(bk.shape[0], G, slots)[:, :, :num_buckets],
+        buckets)
 
 
 def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
-    """sum_{b=1}^{2^c-1} b * B_b via bit-decomposition tree sums.
+    """sum_{b=1}^{2^c-1} b * B_b, batched over G windows, via the
+    bit-decomposition identity sum_j 2^j * (sum_{b: bit j of b set} B_b).
 
-    Compile-lean: ONE batched tree-sum over a (c, 2^c) masked stack (bit j of
-    the bucket index selects the bucket into row j), then a fori_loop
-    double-and-add over the c per-bit totals.
+    Compile-lean: ONE batched tree-sum over a (G, c, 2^c) masked stack (bit j
+    of the bucket index selects the bucket into row j), then a fori_loop
+    double-and-add over the c per-bit totals.  buckets: (G, num) point batch;
+    returns a (G,) point batch of per-window sums.
     """
     num = 1 << c
     idx = jnp.arange(num)
     bitmask = ((idx[None, :] >> jnp.arange(c)[:, None]) & 1) == 1  # (c, num)
     stacked = _point_map(
-        lambda a: jnp.broadcast_to(a[:, None, :], a.shape[:1] + (c, num)),
-        buckets)
-    inf_wide = wst.infinity(F, (c, num))
-    sel = wst.pselect(F, bitmask, stacked, inf_wide)
-    totals = wst.tree_sum(F, b3, sel, axis=1)  # (c,) per-bit sums T_j
+        lambda a: jnp.broadcast_to(
+            a[:, :, None, :], a.shape[:2] + (c, num)), buckets)
+    G = jax.tree_util.tree_leaves(buckets)[0].shape[1]
+    inf_wide = wst.infinity(F, (G, c, num))
+    sel = wst.pselect(F, bitmask[None], stacked, inf_wide)
+    totals = wst.tree_sum(F, b3, sel, axis=2)  # (G, c) per-bit sums T_j
 
     def body(k, acc):
         j = c - 1 - k  # high bit first
         tj = _point_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, j, axis=1, keepdims=False),
+            lambda a: jax.lax.dynamic_index_in_dim(a, j, axis=2, keepdims=False),
             totals)
         return wst.padd(F, b3, wst.pdbl(F, b3, acc), Point(*tj))
 
-    return jax.lax.fori_loop(0, c, body, wst.infinity(F, ()))
+    return jax.lax.fori_loop(0, c, body, wst.infinity(F, (G,)))
+
+
+def _group_size(n_pad: int, W: int) -> int:
+    """Windows per bucket-accumulation pass: cap gathered-copy memory at
+    ~2^21 gathered elements (leaves are (L, G, n_pad) uint32)."""
+    return int(min(W, max(1, (1 << 21) // max(n_pad, 1))))
 
 
 def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
-                  K: int | None = None) -> Point:
+                  K: int | None = None, G: int | None = None) -> Point:
     """sum_i [s_i] P_i. points: (n,) batch; s_limbs: uint32 (L, n) standard
-    domain. Returns a single (unbatched) projective point."""
+    domain. Returns a single (unbatched) projective point.
+
+    All W = ceil(256/c) windows are processed in groups of G: one digit-sort
+    per window (XLA sort), then a single K-step scan accumulates buckets for
+    the whole group at VPU-saturating batch width (G * n/K lanes)."""
     n = s_limbs.shape[1]
     if c is None:
         c = default_window(n)
@@ -231,18 +260,35 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
 
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
     W = digits.shape[0]
-    perms = jnp.argsort(digits, axis=1)  # (W, n_pad)
+    if G is None:
+        G = _group_size(n_pad, W)
+    W_pad = ((W + G - 1) // G) * G
+    if W_pad != W:
+        # zero-digit filler windows: their sum is infinity, and they sit at
+        # the MSB end of the Horner combine where doubling infinity is a no-op
+        digits = jnp.pad(digits, ((0, W_pad - W), (0, 0)))
+    perms = jnp.argsort(digits, axis=1)  # (W_pad, n_pad)
     d_sorted = jnp.take_along_axis(digits, perms, axis=1)
 
-    def window_body(carry, xs):
-        perm, dsort = xs
-        pts = _gather_point(points, perm)
+    def group_body(carry, xs):
+        perm, dsort = xs  # (G, n_pad)
+        pts = _point_map(
+            lambda a: jnp.take(a, perm.reshape(-1), axis=1).reshape(
+                a.shape[0], G, n_pad),
+            points)
         buckets = _bucket_accumulate(F, b3, pts, dsort, 1 << c, K)
-        s_w = _weighted_bucket_sum(F, b3, buckets, c)
-        return carry, s_w
+        s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (G,) batch
+        return carry, tuple(s_w)
 
-    _, window_sums = jax.lax.scan(window_body, 0, (perms, d_sorted))
-    # window_sums leaves: (W, L) — combine MSB window first
+    _, group_sums = jax.lax.scan(
+        group_body, 0,
+        (perms.reshape(W_pad // G, G, n_pad),
+         d_sorted.reshape(W_pad // G, G, n_pad)))
+    # group_sums leaves: (W_pad//G, L, G) — flatten to window-major (W_pad, L)
+    window_sums = _point_map(
+        lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]),
+        Point(*group_sums))
+    # combine MSB window first: res = sum_w 2^{c w} S_w (Horner)
     res = wst.infinity(F, ())
 
     def final_body(res, s_w):
@@ -251,7 +297,6 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         return wst.padd(F, b3, res, Point(*s_w)), None
 
     rev = _point_map(lambda a: jnp.flip(a, axis=0), window_sums)
-    # move window axis to scan position: leaves are (W, L, ...)
     res, _ = jax.lax.scan(
         lambda r, s: final_body(r, s), res, tuple(rev)
     )

@@ -199,11 +199,35 @@ def select(mask, a, b):
 # Montgomery multiplication
 # ---------------------------------------------------------------------------
 
+def _use_pallas(bshape) -> bool:
+    """Trace-time dispatch: route big batches to the Pallas kernel on TPU."""
+    import math
+    import os
+
+    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    return math.prod(bshape) >= 512 if bshape else False
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
-    """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p."""
+    """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p.
+
+    Dispatches to the fused Pallas VMEM kernel (limb_pallas.py) for large
+    batches on TPU; the pure-JAX segment-sum + scanned-REDC path below is the
+    golden reference and the CPU/small-batch fallback.
+    """
     L = spec.L
     a, b, bshape = _broadcast_pair(L, a, b)
+    if _use_pallas(bshape):
+        from . import limb_pallas
+
+        return limb_pallas.mont_mul_pallas(spec, a, b)
 
     # --- operand product into 2L+1 lazy columns ---------------------------
     # Column k accumulates lo(i,j) for i+j=k and hi(i,j) for i+j+1=k; each
