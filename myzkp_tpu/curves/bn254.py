@@ -121,7 +121,21 @@ def _final_exp_power() -> int:
 
 
 def optimal_ate_pairing(p_g1: PyPoint, q_g2: PyPoint) -> PyExt:
-    """e(P, Q) in Fq12 (parity: bn128.rs:147-181)."""
+    """e(P, Q) in Fq12 (parity: bn128.rs:147-181).
+
+    Routed through the native C++ tower engine when available (bit-exact with
+    the pure-Python path below — same Miller shape and final exponent); the
+    Python path is the golden fallback.
+    """
+    from .. import native as _native
+
+    coeffs = _native.pairing_coeffs(p_g1, q_g2)
+    if coeffs is not None:
+        return Fq12(coeffs)
+    return _optimal_ate_pairing_py(p_g1, q_g2)
+
+
+def _optimal_ate_pairing_py(p_g1: PyPoint, q_g2: PyPoint) -> PyExt:
     p = cast_g1_to_g12(p_g1)
     q = twist_g2_to_g12(q_g2)
     if p.inf or q.inf:

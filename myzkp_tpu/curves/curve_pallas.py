@@ -1,0 +1,312 @@
+"""Fused Pallas kernels for batched elliptic-curve ops.
+
+One complete projective addition (RCB16) is ~12 field muls and ~17 add/subs;
+composed from individual XLA ops that is dozens of HBM round-trips per point.
+These kernels run the ENTIRE formula per batch tile inside VMEM — the curve
+op becomes one kernel launch with 6 coordinate reads and 3 writes, which is
+the memory-traffic speed of light for the op.
+
+The formulas are literally weierstrass.padd/pdbl re-executed at trace time
+against tile-level field ops (fields/tile_ops.py), so there is a single
+source of truth for the group law; G1 (Fp coords) and G2 (Fq2 coords) share
+the machinery.  Dispatch happens inside weierstrass.padd/pdbl at trace time
+(TPU backend + batch >= threshold); the pure-JAX path is the golden mirror.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.spec import FieldSpec
+from ..fields.tile_ops import TileFp, TileFq2
+
+_S = 8  # sublane rows per batch tile
+
+
+def enabled() -> bool:
+    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Generic tiled pallas_call over (L, n)-limb coordinate arrays
+# ---------------------------------------------------------------------------
+
+def _tiled_call(spec: FieldSpec, kernel, arrays, scalars, n_out: int,
+                interpret: bool = False):
+    """arrays: list of (L, *batch) limb arrays (same batch); scalars: list of
+    (L,) per-limb constants fed as (L, 1, 1) blocks; returns n_out arrays."""
+    L = spec.L
+    bshape = arrays[0].shape[1:]
+    n = math.prod(bshape) if bshape else 1
+    tile = _S * 128
+    npad = max(tile, -(-n // tile) * tile)
+    grid = npad // tile
+
+    def flat(x):
+        x = x.reshape((L, n))
+        if npad != n:
+            x = jnp.pad(x, ((0, 0), (0, npad - n)))
+        return x.reshape((L, npad // 128, 128))
+
+    tile_spec = pl.BlockSpec((L, _S, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((L, 1, 1), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ins = [flat(a) for a in arrays] + [s.reshape(L, 1, 1) for s in scalars]
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tile_spec] * len(arrays) + [const_spec] * len(scalars),
+        out_specs=tuple([tile_spec] * n_out),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, npad // 128, 128), jnp.uint32)
+            for _ in range(n_out)),
+        interpret=interpret,
+    )(*ins)
+    return [o.reshape((L, npad))[:, :n].reshape((L,) + bshape) for o in out]
+
+
+# ---------------------------------------------------------------------------
+# Kernel builders (G1: Fp coordinates)
+# ---------------------------------------------------------------------------
+
+def _padd_formula(tF, b3, p, q):
+    # import here to avoid a module cycle at import time
+    from . import weierstrass as wst
+
+    return wst.padd(tF, b3, wst.Point(*p), wst.Point(*q))
+
+
+def _pdbl_formula(tF, b3, p):
+    from . import weierstrass as wst
+
+    return wst.pdbl(tF, b3, wst.Point(*p))
+
+
+def _make_padd_kernel(spec: FieldSpec, with_select: bool):
+    tF = TileFp(spec)
+
+    def kernel(*refs):
+        if with_select:
+            (x1, y1, z1, x2, y2, z2, h, b3), outs = refs[:8], refs[8:]
+        else:
+            (x1, y1, z1, x2, y2, z2, b3), outs = refs[:7], refs[7:]
+        p = tuple(tF.load(r) for r in (x1, y1, z1))
+        q = tuple(tF.load(r) for r in (x2, y2, z2))
+        b3t = tF.load(b3)
+        r = _padd_formula(tF, b3t, p, q)
+        if with_select:
+            mask = h[0] > 0
+            r = tuple(tF.select(mask, qi, ri) for qi, ri in zip(q, r))
+        for ref, val in zip(outs, r):
+            tF.store(ref, val)
+
+    return kernel
+
+
+def _make_pdbl_kernel(spec: FieldSpec):
+    tF = TileFp(spec)
+
+    def kernel(x, y, z, b3, ox, oy, oz):
+        p = tuple(tF.load(r) for r in (x, y, z))
+        r = _pdbl_formula(tF, tF.load(b3), p)
+        for ref, val in zip((ox, oy, oz), r):
+            tF.store(ref, val)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def padd_fused(spec: FieldSpec, x1, y1, z1, x2, y2, z2, b3c,
+               interpret: bool = False):
+    out = _tiled_call(spec, _make_padd_kernel(spec, False),
+                      [x1, y1, z1, x2, y2, z2], [b3c], 3, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 9))
+def padd_sel_fused(spec: FieldSpec, x1, y1, z1, x2, y2, z2, h, b3c,
+                   interpret: bool = False):
+    """select(h, Q, P+Q) in one launch — the MSM bucket-scan body."""
+    hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], x1.shape)
+    out = _tiled_call(spec, _make_padd_kernel(spec, True),
+                      [x1, y1, z1, x2, y2, z2, hm], [b3c], 3, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def pdbl_fused(spec: FieldSpec, x, y, z, b3c, interpret: bool = False):
+    out = _tiled_call(spec, _make_pdbl_kernel(spec), [x, y, z], [b3c], 3,
+                      interpret)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# G2 (Fq2 coordinates: each coord is a (c0, c1) pair of limb arrays)
+# ---------------------------------------------------------------------------
+
+def _make_padd2_kernel(spec: FieldSpec, with_select: bool):
+    tF = TileFq2(spec)
+
+    def kernel(*refs):
+        ncoord = 12  # 6 coords x 2 components
+        coords = refs[:ncoord]
+        if with_select:
+            h = refs[ncoord]
+            b3r = refs[ncoord + 1 : ncoord + 3]
+            outs = refs[ncoord + 3 :]
+        else:
+            b3r = refs[ncoord : ncoord + 2]
+            outs = refs[ncoord + 2 :]
+        elems = [tF.load(coords[2 * i], coords[2 * i + 1]) for i in range(6)]
+        p, q = tuple(elems[:3]), tuple(elems[3:])
+        b3t = tF.load(*b3r)
+        r = _padd_formula(tF, b3t, p, q)
+        if with_select:
+            mask = h[0] > 0
+            r = tuple(tF.select(mask, qi, ri) for qi, ri in zip(q, r))
+        flat = [c for e in r for c in e]
+        for ref, val in zip(outs, flat):
+            tF.base.store(ref, val)
+
+    return kernel
+
+
+def _make_pdbl2_kernel(spec: FieldSpec):
+    tF = TileFq2(spec)
+
+    def kernel(*refs):
+        coords = refs[:6]
+        b3r = refs[6:8]
+        outs = refs[8:]
+        p = tuple(tF.load(coords[2 * i], coords[2 * i + 1]) for i in range(3))
+        r = _pdbl_formula(tF, tF.load(*b3r), p)
+        flat = [c for e in r for c in e]
+        for ref, val in zip(outs, flat):
+            tF.base.store(ref, val)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def padd2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
+    """coords: tuple of 12 limb arrays (x1_0, x1_1, y1_0, ..., z2_1)."""
+    out = _tiled_call(spec, _make_padd2_kernel(spec, False), list(coords),
+                      list(b3c), 6, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def padd2_sel_fused(spec: FieldSpec, coords, h, b3c, interpret: bool = False):
+    hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], coords[0].shape)
+    out = _tiled_call(spec, _make_padd2_kernel(spec, True),
+                      list(coords) + [hm], list(b3c), 6, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def pdbl2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
+    out = _tiled_call(spec, _make_pdbl2_kernel(spec), list(coords),
+                      list(b3c), 6, interpret)
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Trace-time dispatch from weierstrass.padd / pdbl
+# ---------------------------------------------------------------------------
+
+_THRESHOLD = 512
+
+
+def _b3_vec(F, b3):
+    """Collapse a broadcast field-constant array to per-limb (L,) vectors.
+
+    Every call site builds b3 via F.const(...) broadcast over the batch, so
+    taking the first batch element is exact.
+    """
+    if isinstance(b3, tuple):
+        return tuple(c.reshape(c.shape[0], -1)[:, 0] for c in b3)
+    return b3.reshape(b3.shape[0], -1)[:, 0]
+
+
+def _common(F, coords):
+    """Broadcast a list of limb arrays to a common batch shape; None if the
+    batch is too small to be worth a kernel launch."""
+    L = coords[0].shape[0]
+    bshape = ()
+    for c in coords:
+        bshape = jnp.broadcast_shapes(bshape, c.shape[1:])
+    if math.prod(bshape) < _THRESHOLD:
+        return None, None
+    out = []
+    for c in coords:
+        cb = c.shape[1:]
+        c = c.reshape((L,) + (1,) * (len(bshape) - len(cb)) + cb)
+        out.append(jnp.broadcast_to(c, (L,) + bshape))
+    return out, bshape
+
+
+def try_padd(F, b3, p, q, h=None):
+    """Fused padd (optionally fused with select(h, q, .)); None = no route."""
+    from .field_ops import Fq2Ops, FpOps
+
+    if not enabled():
+        return None
+    from . import weierstrass as wst
+
+    if isinstance(F, FpOps):
+        coords, bshape = _common(F, [p.x, p.y, p.z, q.x, q.y, q.z])
+        if coords is None:
+            return None
+        if h is not None:
+            hb = jnp.broadcast_to(h, bshape)
+            return wst.Point(*padd_sel_fused(
+                F.spec, *coords, hb, _b3_vec(F, b3)))
+        return wst.Point(*padd_fused(F.spec, *coords, _b3_vec(F, b3)))
+    if isinstance(F, Fq2Ops):
+        flat = [c for e in (p.x, p.y, p.z, q.x, q.y, q.z) for c in e]
+        coords, bshape = _common(F, flat)
+        if coords is None:
+            return None
+        b3v = _b3_vec(F, b3)
+        if h is not None:
+            hb = jnp.broadcast_to(h, bshape)
+            out = padd2_sel_fused(F.spec, tuple(coords), hb, b3v)
+        else:
+            out = padd2_fused(F.spec, tuple(coords), b3v)
+        return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
+    return None
+
+
+def try_pdbl(F, b3, p):
+    from .field_ops import Fq2Ops, FpOps
+
+    if not enabled():
+        return None
+    from . import weierstrass as wst
+
+    if isinstance(F, FpOps):
+        coords, _ = _common(F, [p.x, p.y, p.z])
+        if coords is None:
+            return None
+        return wst.Point(*pdbl_fused(F.spec, *coords, _b3_vec(F, b3)))
+    if isinstance(F, Fq2Ops):
+        flat = [c for e in (p.x, p.y, p.z) for c in e]
+        coords, _ = _common(F, flat)
+        if coords is None:
+            return None
+        out = pdbl2_fused(F.spec, tuple(coords), _b3_vec(F, b3))
+        return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
+    return None

@@ -147,7 +147,7 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
         flush = h & (t > 0)
         tgt = dummy_tgt(pd, flush)
         out = (acc, tgt)  # finished partial (if any) + its bucket index
-        acc = wst.pselect(F, h, e, wst.padd(F, b3, acc, e))
+        acc = wst.padd_sel(F, b3, acc, Point(*e), h)
         return acc, out
 
     acc, (flush_pts, flush_tgt) = jax.lax.scan(

@@ -47,7 +47,16 @@ def is_infinity(F, p: Point):
 
 
 def padd(F, b3, p: Point, q: Point) -> Point:
-    """Complete addition, a=0 (RCB16 Algorithm 7). b3 = 3*b as field const."""
+    """Complete addition, a=0 (RCB16 Algorithm 7). b3 = 3*b as field const.
+
+    Large batches on TPU route to the fused Pallas kernel (curve_pallas.py),
+    which replays this exact formula on tile-level field ops in VMEM.
+    """
+    from . import curve_pallas
+
+    fused = curve_pallas.try_padd(F, b3, p, q)
+    if fused is not None:
+        return fused
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     t0 = F.mul(X1, X2)
@@ -74,8 +83,24 @@ def padd(F, b3, p: Point, q: Point) -> Point:
     return Point(X3, Y3, Z3)
 
 
+def padd_sel(F, b3, p: Point, q: Point, keep_q) -> Point:
+    """select(keep_q, q, p + q) — the segmented-accumulation body, fused into
+    one kernel launch on TPU."""
+    from . import curve_pallas
+
+    fused = curve_pallas.try_padd(F, b3, p, q, h=keep_q)
+    if fused is not None:
+        return fused
+    return pselect(F, keep_q, q, padd(F, b3, p, q))
+
+
 def pdbl(F, b3, p: Point) -> Point:
     """Complete doubling, a=0 (RCB16 Algorithm 9)."""
+    from . import curve_pallas
+
+    fused = curve_pallas.try_pdbl(F, b3, p)
+    if fused is not None:
+        return fused
     X, Y, Z = p
     t0 = F.sqr(Y)
     Z3 = F.add(t0, t0)

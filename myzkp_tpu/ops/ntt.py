@@ -96,6 +96,34 @@ def _bitrev_perm(n: int) -> np.ndarray:
 # Core transforms (limb-level; coefficient axis is the LAST axis)
 # ---------------------------------------------------------------------------
 
+def _use_fused_butterfly(shape) -> bool:
+    import math
+    import os
+
+    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except RuntimeError:
+        return False
+    return math.prod(shape[1:]) >= 512
+
+
+def _butterfly(spec: FieldSpec, u, v, tw, dit: bool):
+    """One radix-2 stage; fused Pallas kernel on TPU, pure JAX elsewhere."""
+    if _use_fused_butterfly(u.shape):
+        from ..fields import limb_pallas
+
+        twb = jnp.broadcast_to(tw, u.shape)
+        return limb_pallas.butterfly_pallas(spec, u, v, twb, dit)
+    if dit:
+        tv = limb.mont_mul(spec, v, tw)
+        return limb.add(spec, u, tv), limb.sub(spec, u, tv)
+    return (limb.add(spec, u, v),
+            limb.mont_mul(spec, limb.sub(spec, u, v), tw))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def _ntt_dif(spec: FieldSpec, a, inverse: bool):
     """DIF NTT: natural order in -> bit-reversed out. a: (L, ..., n) mont."""
@@ -114,8 +142,7 @@ def _ntt_dif(spec: FieldSpec, a, inverse: bool):
         v = x[..., 1, :]
         tw = tw_full[..., :: (1 << s)]  # (L, half): w^(blocks * j)
         tw = tw.reshape((spec.L,) + (1,) * (len(lead) - 1) + (1, half))
-        su = limb.add(spec, u, v)
-        sv = limb.mont_mul(spec, limb.sub(spec, u, v), tw)
+        su, sv = _butterfly(spec, u, v, tw, dit=False)
         a = jnp.stack([su, sv], axis=-2).reshape(lead + (n,))
     return a
 
@@ -137,9 +164,7 @@ def _ntt_dit(spec: FieldSpec, a, inverse: bool):
         v = x[..., 1, :]
         tw = tw_full[..., :: (1 << s)]
         tw = tw.reshape((spec.L,) + (1,) * (len(lead) - 1) + (1, half))
-        tv = limb.mont_mul(spec, v, tw)
-        su = limb.add(spec, u, tv)
-        sv = limb.sub(spec, u, tv)
+        su, sv = _butterfly(spec, u, v, tw, dit=True)
         a = jnp.stack([su, sv], axis=-2).reshape(lead + (n,))
     return a
 

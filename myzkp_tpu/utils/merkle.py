@@ -27,6 +27,12 @@ class MerkleTree:
         n = len(leaves)
         assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of two"
         self.levels = [list(leaves)]
+        from .. import native as _native
+
+        native_levels = _native.merkle_levels(self.levels[0])
+        if native_levels is not None:
+            self.levels.extend(native_levels)
+            return
         cur = self.levels[0]
         while len(cur) > 1:
             nxt = [_h(cur[i] + cur[i + 1]) for i in range(0, len(cur), 2)]

@@ -43,3 +43,90 @@ def test_mont_mul_pallas_multidim_batch():
     ref = limb.mont_mul(spec, a, b)
     assert got.shape == a.shape
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_padd_pdbl_matches_golden():
+    import jax.numpy as jnp
+
+    from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
+
+    rng = random.Random(11)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    g = bn254.g1_generator()
+    n = 20
+    pts_a = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    pts_b = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    spec = bn254.q_spec()
+    b3v = curve_pallas._b3_vec(F, b3)
+    got = curve_pallas.padd_fused(
+        spec, pts_a.x, pts_a.y, pts_a.z, pts_b.x, pts_b.y, pts_b.z, b3v,
+        interpret=True)
+    ref = wst.padd(F, b3, pts_a, pts_b)
+    for g_, r_ in zip(got, ref):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+    gotd = curve_pallas.pdbl_fused(spec, pts_a.x, pts_a.y, pts_a.z, b3v,
+                                   interpret=True)
+    refd = wst.pdbl(F, b3, pts_a)
+    for g_, r_ in zip(gotd, refd):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+    # fused select variant
+    h = jnp.asarray(np.array([i % 2 for i in range(n)], dtype=bool))
+    gots = curve_pallas.padd_sel_fused(
+        spec, pts_a.x, pts_a.y, pts_a.z, pts_b.x, pts_b.y, pts_b.z, h, b3v,
+        interpret=True)
+    refs = wst.pselect(F, h, pts_b, wst.padd(F, b3, pts_a, pts_b))
+    for g_, r_ in zip(gots, refs):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+
+def test_fused_padd_g2_matches_golden():
+    from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
+
+    rng = random.Random(13)
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+    g2 = bn254.g2_generator()
+    n = 8
+    pts_a = bn254.g2_points_to_device([g2 * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    pts_b = bn254.g2_points_to_device([g2 * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    spec = bn254.q_spec()
+    b3v = curve_pallas._b3_vec(F2, b32)
+    flat = [c for e in (pts_a.x, pts_a.y, pts_a.z,
+                        pts_b.x, pts_b.y, pts_b.z) for c in e]
+    out = curve_pallas.padd2_fused(spec, tuple(flat), b3v, interpret=True)
+    ref = wst.padd(F2, b32, pts_a, pts_b)
+    ref_flat = [c for e in ref for c in e]
+    for g_, r_ in zip(out, ref_flat):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+
+def test_fused_butterfly_matches_golden():
+    import jax.numpy as jnp
+
+    from myzkp_tpu.fields import limb_pallas
+
+    spec = FieldSpec.make(M128)
+    rng = random.Random(17)
+    n = 64
+    u = limb.to_mont(spec, limb.from_int(spec, [rng.randrange(M128)
+                                                for _ in range(n)]))
+    v = limb.to_mont(spec, limb.from_int(spec, [rng.randrange(M128)
+                                                for _ in range(n)]))
+    tw = limb.to_mont(spec, limb.from_int(spec, [rng.randrange(M128)
+                                                 for _ in range(n)]))
+    for dit in (False, True):
+        su, sv = limb_pallas.butterfly_pallas(spec, u, v, tw, dit,
+                                              interpret=True)
+        if dit:
+            tv = limb.mont_mul(spec, v, tw)
+            ru, rv = limb.add(spec, u, tv), limb.sub(spec, u, tv)
+        else:
+            ru = limb.add(spec, u, v)
+            rv = limb.mont_mul(spec, limb.sub(spec, u, v), tw)
+        assert np.array_equal(np.asarray(su), np.asarray(ru))
+        assert np.array_equal(np.asarray(sv), np.asarray(rv))
