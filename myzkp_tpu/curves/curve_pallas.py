@@ -227,7 +227,10 @@ def pdbl2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
 # Trace-time dispatch from weierstrass.padd / pdbl
 # ---------------------------------------------------------------------------
 
-_THRESHOLD = 512
+# Even batch-1 ops win: the fused kernel replaces ~29 XLA ops (each limb
+# add/sub an L-step while-loop) with one single-tile launch — this is what
+# keeps the serial Horner tail of the MSM cheap.
+_THRESHOLD = 1
 
 
 def _b3_vec(F, b3):

@@ -93,8 +93,19 @@ def msm_naive(F, b3, points: Point, s_limbs) -> Point:
 # ---------------------------------------------------------------------------
 
 def default_window(n: int) -> int:
-    """Bucket window size: c ~ log2(n) - 3, clamped to [4, 16]."""
-    return int(min(16, max(4, round(math.log2(max(n, 2))) - 3)))
+    """Bucket window size minimizing modeled EC-add work.
+
+    Per window: n adds in the bucket scan, ~2 * c * 2^c adds in the halving
+    weighted-bucket sum, ~c serial ops in the Horner tail; W(c) = ceil(256/c)
+    windows total.
+    """
+    best_c, best_cost = 4, None
+    for c in range(4, 17):
+        W = -(-256 // c)
+        cost = W * (n + 2 * c * (1 << c) + 24 * c)
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
 
 
 def _point_map(f, *pts):
@@ -245,7 +256,10 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     if c is None:
         c = default_window(n)
     if K is None:
-        K = int(min(n, max(8, 1 << int(math.ceil(math.log2(max(n, 1)) / 2)))))
+        # few, wide scan steps: per-step batch is G * n/K lanes, so small K
+        # amortizes launch overhead; extra lane-merge work is B log B adds,
+        # cheap relative to the n-adds scan for K >= 16.
+        K = int(min(n, max(8, 1 << int(math.ceil(math.log2(max(n, 1)) / 2) - 2))))
     # pad n to a multiple of K with digit-0 (bucket 0 is dropped)
     n_pad = ((n + K - 1) // K) * K
     if n_pad != n:

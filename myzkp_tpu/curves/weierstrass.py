@@ -191,11 +191,12 @@ def scalar_mul_bits(F, b3, p: Point, bits) -> Point:
 
 
 def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
-    """EC sum of a point batch along an axis: log-depth halving reduction.
+    """EC sum of a point batch along an axis: halving reduction, O(n) adds.
 
-    Compile-friendly: ONE complete-add in the traced graph, iterated by a
-    fori_loop with a data-dependent stride (entry 0 accumulates the total).
-    Non-power-of-two sizes are padded with the point at infinity.
+    Each level adds the top half onto the bottom half (one batched
+    complete-add per level, fused into one kernel launch on TPU), so total
+    work is n + n/2 + ... = 2n adds — not the n log n of a full-width
+    roll-reduce.  Non-power-of-two sizes are padded with infinity.
     """
     ax = _leaf_axis(axis)
     leaf0 = jax.tree_util.tree_leaves(p)[0]
@@ -213,17 +214,16 @@ def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
                 axis=ax),
             p, inf)
 
-    steps = n2.bit_length() - 1
-
-    def body(k, pt):
-        stride = n2 >> (k + 1)
-        rolled = jax.tree_util.tree_map(
-            lambda a: jnp.roll(a, -stride, axis=ax), pt)
-        return padd(F, b3, pt, rolled)
-
-    out = jax.lax.fori_loop(0, steps, body, p)
+    m = n2
+    while m > 1:
+        m //= 2
+        lo = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, 0, m, axis=ax), p)
+        hi = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, m, 2 * m, axis=ax), p)
+        p = padd(F, b3, Point(*lo), Point(*hi))
     return jax.tree_util.tree_map(
-        lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), out)
+        lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), p)
 
 
 def _leaf_axis(axis: int) -> int:
