@@ -159,9 +159,10 @@ def verify(pk: KZGPublicKey, u: int, y: int, commitment: PyPoint,
     g1 = bn254.g1_generator()
     g2 = pk.host_g2()[0]
     s_g2 = pk.host_g2()[1]
-    lhs = bn254.optimal_ate_pairing(commitment + (-(g1 * y)), g2)
-    rhs = bn254.optimal_ate_pairing(witness, s_g2 + (-(g2 * u)))
-    return lhs == rhs
+    return bn254.pairing_product_is_one([
+        (commitment + (-(g1 * y)), g2),
+        (-witness, s_g2 + (-(g2 * u))),
+    ])
 
 
 def batch_open(pk: KZGPublicKey, p: Poly, us: list[int]
@@ -191,9 +192,8 @@ def batch_verify(pk: KZGPublicKey, us: list[int], ys: list[int],
     i_commit = commit(pk, Poly(lagrange_interpolate(xs, ysf)))
     z_g2 = commit_g2(pk, Poly(from_monomials(xs)))
     g2 = pk.host_g2()[0]
-    lhs = bn254.optimal_ate_pairing(commitment + (-i_commit), g2)
-    rhs = bn254.optimal_ate_pairing(witness, z_g2)
-    return lhs == rhs
+    return bn254.pairing_product_is_one([
+        (commitment + (-i_commit), g2), (-witness, z_g2)])
 
 
 def prove_degree_bound(pk: KZGPublicKey, p: Poly, d: int) -> PyPoint:
@@ -217,6 +217,5 @@ def verify_degree_bound(pk: KZGPublicKey, commitment: PyPoint,
     max_d = pk.degree
     g2s = pk.host_g2()
     assert max_d - d < len(g2s), "needs full_g2 setup"
-    lhs = bn254.optimal_ate_pairing(degree_proof, g2s[0])
-    rhs = bn254.optimal_ate_pairing(commitment, g2s[max_d - d])
-    return lhs == rhs
+    return bn254.pairing_product_is_one([
+        (degree_proof, g2s[0]), (-commitment, g2s[max_d - d])])

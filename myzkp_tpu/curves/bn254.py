@@ -135,6 +135,25 @@ def optimal_ate_pairing(p_g1: PyPoint, q_g2: PyPoint) -> PyExt:
     return _optimal_ate_pairing_py(p_g1, q_g2)
 
 
+def pairing_product_is_one(pairs) -> bool:
+    """Check prod_i e(P_i, Q_i) == 1.
+
+    With the native engine this is one multi-pairing (shared final
+    exponentiation, the standard verifier optimization); the fallback
+    multiplies individual pairings.  Verifier equalities e(A,B) == e(C,D)
+    reduce to this via e(A,B) * e(-C,D) == 1.
+    """
+    from .. import native as _native
+
+    coeffs = _native.multi_pairing_coeffs(pairs)
+    if coeffs is not None:
+        return coeffs == [1] + [0] * 11
+    acc = Fq12([1])
+    for p, q in pairs:
+        acc = acc * optimal_ate_pairing(p, q)
+    return acc == Fq12([1])
+
+
 def _optimal_ate_pairing_py(p_g1: PyPoint, q_g2: PyPoint) -> PyExt:
     p = cast_g1_to_g12(p_g1)
     q = twist_g2_to_g12(q_g2)

@@ -299,22 +299,24 @@ def prove(assignment: Fp, pk: PinocchioProofKey, qap: QAP, rng=None
 
 
 def verify(proof: PinocchioProof, vk: PinocchioVerificationKey) -> bool:
-    """12 pairings / 5 checks (parity: pinocchio.rs:205-245)."""
-    e = bn254.optimal_ate_pairing
+    """12 Miller loops / 5 checks (parity: pinocchio.rs:205-245).
+
+    Each equality e(A,B) == e(C,D)... runs as one product-of-pairings check
+    with a single shared final exponentiation (native multi-pairing when
+    available) via e(A,B) * e(-C,D) * ... == 1.
+    """
+    one = bn254.pairing_product_is_one
     g1 = bn254.g1_generator()
     g2 = bn254.g2_generator()
 
-    if e(proof.g1_ell, vk.g2_alpha_ell) != e(proof.g1_ell_prime, g2):
+    if not one([(proof.g1_ell, vk.g2_alpha_ell), (-proof.g1_ell_prime, g2)]):
         return False
-    if e(vk.g1_alpha_r, proof.g2_r) != e(g1, proof.g2_r_prime):
+    if not one([(vk.g1_alpha_r, proof.g2_r), (-g1, proof.g2_r_prime)]):
         return False
-    if e(proof.g1_o, vk.g2_alpha_o) != e(proof.g1_o_prime, g2):
+    if not one([(proof.g1_o, vk.g2_alpha_o), (-proof.g1_o_prime, g2)]):
         return False
-    lhs = e(proof.g1_ell, proof.g2_r)
-    rhs = e(proof.g1_h, vk.g2_t_s) * e(proof.g1_o, g2)
-    if lhs != rhs:
+    if not one([(proof.g1_ell, proof.g2_r), (-proof.g1_h, vk.g2_t_s),
+                (-proof.g1_o, g2)]):
         return False
-    p10 = e(proof.g1_ell + proof.g1_o, vk.g2_beta_eta)
-    p11 = e(vk.g1_beta_eta, proof.g2_r)
-    p12 = e(proof.g1_z, vk.g2_eta)
-    return p10 * p11 == p12
+    return one([(proof.g1_ell + proof.g1_o, vk.g2_beta_eta),
+                (vk.g1_beta_eta, proof.g2_r), (-proof.g1_z, vk.g2_eta)])
