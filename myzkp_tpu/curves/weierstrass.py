@@ -214,16 +214,35 @@ def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
                 axis=ax),
             p, inf)
 
-    m = n2
-    while m > 1:
-        m //= 2
-        lo = jax.tree_util.tree_map(
-            lambda a: jax.lax.slice_in_dim(a, 0, m, axis=ax), p)
-        hi = jax.tree_util.tree_map(
-            lambda a: jax.lax.slice_in_dim(a, m, 2 * m, axis=ax), p)
-        p = padd(F, b3, Point(*lo), Point(*hi))
+    from . import curve_pallas
+
+    if curve_pallas.enabled():
+        # TPU: halving levels, each ONE fused-kernel complete-add; total
+        # work 2n adds.
+        m = n2
+        while m > 1:
+            m //= 2
+            lo = jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, 0, m, axis=ax), p)
+            hi = jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, m, 2 * m, axis=ax), p)
+            p = padd(F, b3, Point(*lo), Point(*hi))
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), p)
+
+    # CPU golden path: single traced complete-add iterated by fori_loop with
+    # a shrinking stride (compile-lean; n log n work is fine off-TPU).
+    steps = n2.bit_length() - 1
+
+    def body(k, pt):
+        stride = n2 >> (k + 1)
+        rolled = jax.tree_util.tree_map(
+            lambda a: jnp.roll(a, -stride, axis=ax), pt)
+        return padd(F, b3, pt, rolled)
+
+    out = jax.lax.fori_loop(0, steps, body, p)
     return jax.tree_util.tree_map(
-        lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), p)
+        lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), out)
 
 
 def _leaf_axis(axis: int) -> int:
