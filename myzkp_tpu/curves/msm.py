@@ -259,7 +259,8 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         # few, wide scan steps: per-step batch is G * n/K lanes, so small K
         # amortizes launch overhead; extra lane-merge work is B log B adds,
         # cheap relative to the n-adds scan for K >= 16.
-        K = int(min(n, max(8, 1 << int(math.ceil(math.log2(max(n, 1)) / 2) - 2))))
+        shift = max(0, int(math.ceil(math.log2(max(n, 1)) / 2)) - 2)
+        K = int(min(n, max(8, 1 << shift)))
     # pad n to a multiple of K with digit-0 (bucket 0 is dropped)
     n_pad = ((n + K - 1) // K) * K
     if n_pad != n:

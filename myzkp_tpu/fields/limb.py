@@ -371,6 +371,39 @@ def batch_inv(spec: FieldSpec, a, axis: int = -1):
     return select(zmask, zeros(spec, a.shape[1:]), out)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def segment_sum_mod(spec: FieldSpec, vals, seg_ids, num_segments: int):
+    """Field-correct segment sum of limb arrays: (L, nnz) -> (L, nseg).
+
+    Sums the raw limb planes in 8-bit pieces (uint32-safe for up to 2^24
+    entries per segment), then folds lazy columns and final carries back
+    into canonical mod-p form.  Works identically for Montgomery- or
+    standard-domain inputs (summation is linear in either).  The workhorse
+    of sparse matvec / matrix-transpose-vec (arith/sparse.py).
+    """
+    L = spec.L
+
+    def part_sum(part):  # part: (L, nnz) u32, entries < 2^8
+        s = jax.ops.segment_sum(part.swapaxes(0, 1), seg_ids,
+                                num_segments=num_segments)  # (nseg, L)
+        s = s.swapaxes(0, 1)  # (L, nseg), entries < nnz * 2^8 < 2^32
+        canon, carry = _carry_propagate(s)
+        # integer value = canon + carry * 2^(16 L) = canon + carry * R
+        val = _mod_reduce_canonical(spec, canon)
+        if L >= 2:
+            carry_limbs = zeros(spec, carry.shape).at[0].set(
+                carry & _MASK).at[1].set(carry >> W)
+        else:
+            carry_limbs = (carry & _MASK)[None]
+        # carry * R mod p == to_mont(carry)
+        return add(spec, val, to_mont(spec, carry_limbs))
+
+    v0 = part_sum(vals & np.uint32(0xFF))
+    v1 = part_sum(vals >> np.uint32(8))
+    shift8 = const(spec, spec.to_mont_int(1 << 8), v1.shape[1:])
+    return add(spec, v0, mont_mul(spec, v1, shift8))
+
+
 def to_bytes_batch(spec: FieldSpec, a) -> list:
     """Canonical standard-domain limb array (L, n) -> list of fixed-width
     little-endian byte strings (2L bytes each).  Vectorized via numpy —
