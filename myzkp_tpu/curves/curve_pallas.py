@@ -62,9 +62,12 @@ def _tiled_call(spec: FieldSpec, kernel, arrays, scalars, n_out: int,
 
     tile_spec = pl.BlockSpec((L, _S, 128), lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((L, 1, 1), lambda i: (0, 0, 0),
+    # field constants (b3) ride as one full (L, S, 128) block — Mosaic
+    # cannot broadcast a (1, 1) tile across sublanes and lanes in-kernel
+    const_spec = pl.BlockSpec((L, _S, 128), lambda i: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    ins = [flat(a) for a in arrays] + [s.reshape(L, 1, 1) for s in scalars]
+    ins = [flat(a) for a in arrays] + [
+        jnp.broadcast_to(s.reshape(L, 1, 1), (L, _S, 128)) for s in scalars]
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -95,8 +98,9 @@ def _pdbl_formula(tF, b3, p):
     return wst.pdbl(tF, b3, wst.Point(*p))
 
 
-def _make_padd_kernel(spec: FieldSpec, with_select: bool):
-    tF = TileFp(spec)
+def _make_padd_kernel(spec: FieldSpec, with_select: bool,
+                      interpret: bool = False):
+    tF = TileFp(spec, use_scratch=True)
 
     def kernel(*refs):
         if with_select:
@@ -116,8 +120,8 @@ def _make_padd_kernel(spec: FieldSpec, with_select: bool):
     return kernel
 
 
-def _make_pdbl_kernel(spec: FieldSpec):
-    tF = TileFp(spec)
+def _make_pdbl_kernel(spec: FieldSpec, interpret: bool = False):
+    tF = TileFp(spec, use_scratch=True)
 
     def kernel(x, y, z, b3, ox, oy, oz):
         p = tuple(tF.load(r) for r in (x, y, z))
@@ -131,7 +135,7 @@ def _make_pdbl_kernel(spec: FieldSpec):
 @functools.partial(jax.jit, static_argnums=(0, 8))
 def padd_fused(spec: FieldSpec, x1, y1, z1, x2, y2, z2, b3c,
                interpret: bool = False):
-    out = _tiled_call(spec, _make_padd_kernel(spec, False),
+    out = _tiled_call(spec, _make_padd_kernel(spec, False, interpret),
                       [x1, y1, z1, x2, y2, z2], [b3c], 3, interpret)
     return tuple(out)
 
@@ -141,14 +145,14 @@ def padd_sel_fused(spec: FieldSpec, x1, y1, z1, x2, y2, z2, h, b3c,
                    interpret: bool = False):
     """select(h, Q, P+Q) in one launch — the MSM bucket-scan body."""
     hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], x1.shape)
-    out = _tiled_call(spec, _make_padd_kernel(spec, True),
+    out = _tiled_call(spec, _make_padd_kernel(spec, True, interpret),
                       [x1, y1, z1, x2, y2, z2, hm], [b3c], 3, interpret)
     return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def pdbl_fused(spec: FieldSpec, x, y, z, b3c, interpret: bool = False):
-    out = _tiled_call(spec, _make_pdbl_kernel(spec), [x, y, z], [b3c], 3,
+    out = _tiled_call(spec, _make_pdbl_kernel(spec, interpret), [x, y, z], [b3c], 3,
                       interpret)
     return tuple(out)
 
@@ -157,8 +161,9 @@ def pdbl_fused(spec: FieldSpec, x, y, z, b3c, interpret: bool = False):
 # G2 (Fq2 coordinates: each coord is a (c0, c1) pair of limb arrays)
 # ---------------------------------------------------------------------------
 
-def _make_padd2_kernel(spec: FieldSpec, with_select: bool):
-    tF = TileFq2(spec)
+def _make_padd2_kernel(spec: FieldSpec, with_select: bool,
+                       interpret: bool = False):
+    tF = TileFq2(spec, use_scratch=True)
 
     def kernel(*refs):
         ncoord = 12  # 6 coords x 2 components
@@ -184,8 +189,8 @@ def _make_padd2_kernel(spec: FieldSpec, with_select: bool):
     return kernel
 
 
-def _make_pdbl2_kernel(spec: FieldSpec):
-    tF = TileFq2(spec)
+def _make_pdbl2_kernel(spec: FieldSpec, interpret: bool = False):
+    tF = TileFq2(spec, use_scratch=True)
 
     def kernel(*refs):
         coords = refs[:6]
@@ -203,7 +208,7 @@ def _make_pdbl2_kernel(spec: FieldSpec):
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def padd2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
     """coords: tuple of 12 limb arrays (x1_0, x1_1, y1_0, ..., z2_1)."""
-    out = _tiled_call(spec, _make_padd2_kernel(spec, False), list(coords),
+    out = _tiled_call(spec, _make_padd2_kernel(spec, False, interpret), list(coords),
                       list(b3c), 6, interpret)
     return tuple(out)
 
@@ -211,14 +216,14 @@ def padd2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def padd2_sel_fused(spec: FieldSpec, coords, h, b3c, interpret: bool = False):
     hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], coords[0].shape)
-    out = _tiled_call(spec, _make_padd2_kernel(spec, True),
+    out = _tiled_call(spec, _make_padd2_kernel(spec, True, interpret),
                       list(coords) + [hm], list(b3c), 6, interpret)
     return tuple(out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def pdbl2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
-    out = _tiled_call(spec, _make_pdbl2_kernel(spec), list(coords),
+    out = _tiled_call(spec, _make_pdbl2_kernel(spec, interpret), list(coords),
                       list(b3c), 6, interpret)
     return tuple(out)
 

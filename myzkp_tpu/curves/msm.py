@@ -322,8 +322,16 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
 # Convenience wrappers (G1 over BN254 etc.)
 # ---------------------------------------------------------------------------
 
+# Below this size the bucket machinery can't beat one 256-step double-and-add
+# ladder, and its much larger XLA program isn't worth compiling (deep-unrolled
+# Pippenger compiles have also hit LLVM crashes on the CPU backend for tiny n).
+_PIPPENGER_MIN_N = 128
+
+
 def msm(F, b3, points: Point, s_limbs, method: str = "pippenger", **kw) -> Point:
-    if method == "naive":
+    if method == "naive" or (
+            method == "pippenger" and not kw and
+            s_limbs.shape[1] < _PIPPENGER_MIN_N):
         return msm_naive(F, b3, points, s_limbs)
     return msm_pippenger(F, b3, points, s_limbs, **kw)
 

@@ -38,64 +38,21 @@ _MASK = np.uint32(MASK)
 _S = 32  # sublane rows per batch tile; tile = (S, 128) lanes
 
 
-def _make_kernel(spec: FieldSpec):
-    L = spec.L
-    n0 = np.uint32(spec.n0)
-    p_limbs = tuple(np.uint32(v) for v in spec.p_limbs)
+def _make_kernel(spec: FieldSpec, interpret: bool = False):
+    from .tile_ops import TileFp
+
+    tF = TileFp(spec, use_scratch=True)
 
     def kernel(a_ref, b_ref, o_ref):
-        a = [a_ref[i] for i in range(L)]
-        b = [b_ref[i] for i in range(L)]
-        zero = jnp.zeros_like(a[0])
-        t = [zero] * (2 * L + 1)
-
-        # ---- operand product into 2L+1 lazy uint32 columns ----
-        for i in range(L):
-            ai = a[i]
-            for j in range(L):
-                pr = ai * b[j]  # < 2^32
-                t[i + j] = t[i + j] + (pr & _MASK)
-                t[i + j + 1] = t[i + j + 1] + (pr >> W)
-
-        # ---- column-lazy Montgomery REDC ----
-        # At step i every carry from columns < i has been folded into t[i],
-        # so (t[i] & MASK) is the true column value mod 2^16.
-        for i in range(L):
-            m = ((t[i] & _MASK) * n0) & _MASK
-            for j in range(L):
-                pr = m * p_limbs[j]
-                t[i + j] = t[i + j] + (pr & _MASK)
-                t[i + j + 1] = t[i + j + 1] + (pr >> W)
-            # column i is now ≡ 0 mod 2^16; fold its carry upward
-            t[i + 1] = t[i + 1] + (t[i] >> W)
-
-        # ---- final carry propagation over columns L..2L-1 ----
-        res = []
-        c = zero
-        for i in range(L):
-            u = t[L + i] + c
-            res.append(u & _MASK)
-            c = u >> W
-        top = c + t[2 * L]
-
-        # ---- conditional subtract p (result < 2p, maybe with overflow bit) --
-        borrow = zero
-        sub = []
-        for i in range(L):
-            d = res[i] - p_limbs[i] - borrow  # wraps in uint32
-            sub.append(d & _MASK)
-            borrow = (d >> W) & np.uint32(1)
-        need = (borrow == 0) | (top > 0)
-        for i in range(L):
-            o_ref[i] = jnp.where(need, sub[i], res[i])
+        o_ref[...] = tF.mul(a_ref[...], b_ref[...])
 
     return kernel
 
 
-def _make_butterfly_kernel(spec: FieldSpec, dit: bool):
+def _make_butterfly_kernel(spec: FieldSpec, dit: bool, interpret: bool = False):
     from .tile_ops import TileFp
 
-    tF = TileFp(spec)
+    tF = TileFp(spec, use_scratch=True)
 
     def kernel(u_ref, v_ref, t_ref, su_ref, sv_ref):
         u = tF.load(u_ref)
@@ -139,7 +96,7 @@ def butterfly_pallas(spec: FieldSpec, u, v, tw, dit: bool,
     bspec = pl.BlockSpec((L, _S, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     su, sv = pl.pallas_call(
-        _make_butterfly_kernel(spec, dit),
+        _make_butterfly_kernel(spec, dit, interpret),
         grid=(grid,),
         in_specs=[bspec] * 3,
         out_specs=(bspec, bspec),
@@ -177,7 +134,7 @@ def mont_mul_pallas(spec: FieldSpec, a, b, interpret: bool = False):
         return x.reshape((L, npad // 128, 128))
 
     out = pl.pallas_call(
-        _make_kernel(spec),
+        _make_kernel(spec, interpret),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((L, _S, 128), lambda i: (0, i, 0),

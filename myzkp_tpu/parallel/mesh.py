@@ -35,7 +35,17 @@ from ..ops import ntt as _ntt
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # not enough accelerator devices — fall back to the (virtual) CPU
+        # devices so sharding logic is exercised for real (the driver's
+        # multi-chip dry run uses --xla_force_host_platform_device_count)
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
     if n_devices is not None:
+        assert len(devs) >= n_devices, (
+            f"need {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 

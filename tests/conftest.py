@@ -7,7 +7,6 @@ the multi-chip path); benches run on real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,8 +15,15 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_zkp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# Force the CPU backend via config, not the JAX_PLATFORMS env var: managed
+# TPU environments (e.g. the axon relay) pre-set JAX_PLATFORMS and would
+# silently route "CPU" tests onto the real chip — serializing the suite
+# through one device and racing any concurrent benchmark.
+jax.config.update("jax_platforms", "cpu")
+
+# NOTE: no persistent compilation cache here — jaxlib 0.9.0 segfaults
+# deserializing cached CPU executables compiled under
+# --xla_force_host_platform_device_count (reproducible on cache *hit*).
 
 
 def pytest_configure(config):
