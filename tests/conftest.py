@@ -25,6 +25,34 @@ jax.config.update("jax_platforms", "cpu")
 # deserializing cached CPU executables compiled under
 # --xla_force_host_platform_device_count (reproducible on cache *hit*).
 
+import pytest  # noqa: E402
+
+# XLA:CPU's thunk runtime JIT-loads one tiny LLVM module (3 mmaps) per fused
+# computation; a compile-heavy module like test_kzg_gemini creates ~19k
+# modules (~57k mappings) and blows through the kernel's default
+# vm.max_map_count of 65530 — mmap then fails ENOMEM and LLVM aborts the
+# process mid-compile ("LLVM compilation error: Cannot allocate memory").
+# Raise the limit when we can (this environment runs tests as root);
+# harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1_048_576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables (and their JIT mappings) between modules.
+
+    Keeps the process's live-executable footprint bounded — the same
+    accumulation that motivates the max_map_count raise above.
+    """
+    yield
+    jax.clear_caches()
+
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end test")
