@@ -17,9 +17,10 @@ TPU-first re-design:
     provably unique per step — a digit can end mid-lane in at most one lane).
     Work: n + O(B) EC adds per window (vs n·log n for a naive segmented
     associative scan).
-  * bucket combination  sum_b b*B_b  via the bit-decomposition identity
-    sum_j 2^j * (sum_{b: bit j set} B_b): c masked log-depth tree sums over
-    the full bucket array — wide VPU work instead of a 2^c-long serial chain.
+  * bucket combination  sum_b b*B_b  via a hierarchical split b = hi*2^k+lo
+    (row/column tree-sums + two recursive half-width weighted sums, ~2*2^c
+    adds) — wide VPU work instead of a 2^c-long serial chain, and cheap
+    enough that the cost model picks large windows (fewer windows overall).
 
 Scalars enter as standard-domain 16-bit-limb arrays (L, n) uint32.
 """
@@ -92,17 +93,25 @@ def msm_naive(F, b3, points: Point, s_limbs) -> Point:
 # Pippenger
 # ---------------------------------------------------------------------------
 
+def _bucket_sum_cost(c: int) -> int:
+    """Modeled EC adds of the hierarchical weighted-bucket sum at window c."""
+    if c <= _WSUM_BASE_C:
+        return c * (1 << c)  # bit-decomposition base case
+    k = c // 2
+    return 2 * (1 << c) + _bucket_sum_cost(c - k) + _bucket_sum_cost(k) + k
+
+
 def default_window(n: int) -> int:
     """Bucket window size minimizing modeled EC-add work.
 
-    Per window: n adds in the bucket scan, ~2 * c * 2^c adds in the halving
+    Per window: n adds in the bucket scan, ~2 * 2^c adds in the hierarchical
     weighted-bucket sum, ~c serial ops in the Horner tail; W(c) = ceil(256/c)
     windows total.
     """
     best_c, best_cost = 4, None
     for c in range(4, 17):
         W = -(-256 // c)
-        cost = W * (n + 2 * c * (1 << c) + 24 * c)
+        cost = W * (n + _bucket_sum_cost(c) + 24 * c)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -208,15 +217,39 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
         buckets)
 
 
-def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
-    """sum_{b=1}^{2^c-1} b * B_b, batched over G windows, via the
-    bit-decomposition identity sum_j 2^j * (sum_{b: bit j of b set} B_b).
+# Below this window size the hierarchical split stops paying for its extra
+# kernel launches and the bit-decomposition base case takes over.
+_WSUM_BASE_C = 5
 
-    Compile-lean: ONE batched tree-sum over a (G, c, 2^c) masked stack (bit j
-    of the bucket index selects the bucket into row j), then a fori_loop
-    double-and-add over the c per-bit totals.  buckets: (G, num) point batch;
-    returns a (G,) point batch of per-window sums.
+
+def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
+    """sum_{b=1}^{2^c-1} b * B_b, batched over G windows.
+
+    Hierarchical split: write b = hi * 2^k + lo (k = c//2), so
+
+        sum_b b * B_b = 2^k * sum_hi hi * R_hi  +  sum_lo lo * C_lo,
+        R_hi = sum_lo B[hi, lo]   (row sums:    one batched tree-sum),
+        C_lo = sum_hi B[hi, lo]   (column sums: one batched tree-sum),
+
+    and the two half-width weighted sums recurse.  Total work ~2*2^c + O(2^
+    {c/2}) EC adds — vs c*2^c for flat bit-decomposition — which lets the
+    window cost model pick larger c (fewer windows, fewer total scan adds).
+    Bucket 0 is garbage by construction; every path weights index 0 by zero
+    (inductively down to the base case, whose bit masks exclude it).
+    buckets: (G, 2^c) point batch; returns a (G,) point batch.
     """
+    if c > _WSUM_BASE_C:
+        k = c // 2
+        hi_n, lo_n = 1 << (c - k), 1 << k
+        grid = _point_map(
+            lambda a: a.reshape(a.shape[0], a.shape[1], hi_n, lo_n), buckets)
+        rows = wst.tree_sum(F, b3, grid, axis=2)  # (G, hi_n): sum over lo
+        cols = wst.tree_sum(F, b3, grid, axis=1)  # (G, lo_n): sum over hi
+        s_hi = _weighted_bucket_sum(F, b3, rows, c - k)
+        s_lo = _weighted_bucket_sum(F, b3, cols, k)
+        for _ in range(k):
+            s_hi = wst.pdbl(F, b3, s_hi)
+        return wst.padd(F, b3, s_hi, s_lo)
     num = 1 << c
     idx = jnp.arange(num)
     bitmask = ((idx[None, :] >> jnp.arange(c)[:, None]) & 1) == 1  # (c, num)
@@ -238,10 +271,12 @@ def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
     return jax.lax.fori_loop(0, c, body, wst.infinity(F, (G,)))
 
 
-def _group_size(n_pad: int, W: int) -> int:
+def _group_size(n_pad: int, W: int, slots: int = 0) -> int:
     """Windows per bucket-accumulation pass: cap gathered-copy memory at
-    ~2^21 gathered elements (leaves are (L, G, n_pad) uint32)."""
-    return int(min(W, max(1, (1 << 21) // max(n_pad, 1))))
+    ~2^21 gathered elements (leaves are (L, G, n_pad) uint32), and bucket
+    arrays at ~2^21 (L, G*slots) elements likewise."""
+    cap = (1 << 21) // max(n_pad, slots, 1)
+    return int(min(W, max(1, cap)))
 
 
 def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
@@ -276,7 +311,7 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
     W = digits.shape[0]
     if G is None:
-        G = _group_size(n_pad, W)
+        G = _group_size(n_pad, W, (1 << c) + 1)
     W_pad = ((W + G - 1) // G) * G
     if W_pad != W:
         # zero-digit filler windows: their sum is infinity, and they sit at

@@ -156,6 +156,15 @@ def test_msm_pippenger(msm_instance):
     assert _to_host_single(msm.msm_pippenger(F, b3, dev, sl)) == exp
 
 
+@pytest.mark.parametrize("c", [6, 9])
+def test_msm_pippenger_large_windows(msm_instance, c):
+    """Windows above _WSUM_BASE_C exercise the hierarchical weighted
+    bucket sum (row/column split + recursive half-width sums)."""
+    dev, sl, exp = msm_instance
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    assert _to_host_single(msm.msm_pippenger(F, b3, dev, sl, c=c)) == exp
+
+
 def test_msm_pippenger_edge_scalars():
     """Zero scalars, tiny scalars, duplicate digits."""
     g1 = bn254.g1_generator()
