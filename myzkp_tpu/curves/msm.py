@@ -57,9 +57,9 @@ def scalar_bits(s_limbs, nbits: int | None = None):
 def scalar_digits(s_limbs, c: int):
     """uint32 (L, n) 16-bit limbs -> (W, n) int32 window digits, W=ceil(16L/c).
 
-    Each digit is bits [w*c, (w+1)*c). Requires c <= 16.
+    Each digit is bits [w*c, (w+1)*c). Requires c <= 31.
     """
-    assert 1 <= c <= 16
+    assert 1 <= c <= 31
     L = s_limbs.shape[0]
     nbits = 16 * L
     W = (nbits + c - 1) // c
@@ -76,6 +76,29 @@ def scalar_digits(s_limbs, c: int):
             j += 1
         out.append(val & np.uint32((1 << c) - 1))
     return jnp.stack(out).astype(jnp.int32)  # (W, n)
+
+
+def signed_digits(digits, c: int):
+    """Unsigned window digits (W, n) -> signed-digit form (mag, neg).
+
+    Rewrites each digit d_w into d'_w in [-2^(c-1), 2^(c-1)-1] with a carry
+    into the next window, preserving sum_w d'_w 2^(cw).  Returns magnitudes
+    (W, n) int32 in [0, 2^(c-1)] and a negation mask (W, n) bool.  Halves the
+    Pippenger bucket count: [|d|]P with P negated when d < 0.
+
+    Precondition: the scalar value is < 2^255 (any canonical mod-r scalar),
+    so the top window never produces a carry out: with W = ceil(256/c) the
+    top digit plus carry stays <= 2^(c-2) + 1 < 2^(c-1).
+    """
+    half, full = 1 << (c - 1), 1 << c
+
+    def body(carry, d):
+        v = d + carry
+        over = v >= half
+        return over.astype(jnp.int32), jnp.where(over, v - full, v)
+
+    _, signed = jax.lax.scan(body, jnp.zeros_like(digits[0]), digits)
+    return jnp.abs(signed), signed < 0
 
 
 # ---------------------------------------------------------------------------
@@ -101,17 +124,21 @@ def _bucket_sum_cost(c: int) -> int:
     return 2 * (1 << c) + _bucket_sum_cost(c - k) + _bucket_sum_cost(k) + k
 
 
-def default_window(n: int) -> int:
+def default_window(n: int, signed: bool = True) -> int:
     """Bucket window size minimizing modeled EC-add work.
 
     Per window: n adds in the bucket scan, ~2 * 2^c adds in the hierarchical
-    weighted-bucket sum, ~c serial ops in the Horner tail; W(c) = ceil(256/c)
-    windows total.
+    weighted-bucket sum (over 2^(c-1) buckets in signed-digit form), ~c
+    serial ops in the Horner tail; W(c) = ceil(256/c) windows total.
     """
     best_c, best_cost = 4, None
-    for c in range(4, 17):
+    for c in range(4, 20):
         W = -(-256 // c)
-        cost = W * (n + _bucket_sum_cost(c) + 24 * c)
+        if signed and c >= 2:
+            bsum = _bucket_sum_cost(c - 1) + (c - 1) + 1
+        else:
+            bsum = _bucket_sum_cost(c)
+        cost = W * (n + bsum + 24 * c)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -280,16 +307,22 @@ def _group_size(n_pad: int, W: int, slots: int = 0) -> int:
 
 
 def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
-                  K: int | None = None, G: int | None = None) -> Point:
+                  K: int | None = None, G: int | None = None,
+                  signed: bool = True) -> Point:
     """sum_i [s_i] P_i. points: (n,) batch; s_limbs: uint32 (L, n) standard
     domain. Returns a single (unbatched) projective point.
 
     All W = ceil(256/c) windows are processed in groups of G: one digit-sort
     per window (XLA sort), then a single K-step scan accumulates buckets for
-    the whole group at VPU-saturating batch width (G * n/K lanes)."""
+    the whole group at VPU-saturating batch width (G * n/K lanes).  With
+    ``signed`` (default) digits are rewritten to [-2^(c-1), 2^(c-1)]:
+    points whose digit is negative enter the scan negated, halving the
+    bucket count and the weighted-bucket-sum work."""
     n = s_limbs.shape[1]
     if c is None:
-        c = default_window(n)
+        c = default_window(n, signed)
+    if c < 2:
+        signed = False
     if K is None:
         # few, wide scan steps: per-step batch is G * n/K lanes, so small K
         # amortizes launch overhead; extra lane-merge work is B log B adds,
@@ -309,31 +342,53 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         s_limbs = jnp.pad(s_limbs, ((0, 0), (0, pad)))
 
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
+    if signed:
+        digits, dneg = signed_digits(digits, c)
+        half = 1 << (c - 1)
+    else:
+        dneg = jnp.zeros(digits.shape, bool)
+        half = None
+    num_buckets = (half + 1) if signed else (1 << c)
     W = digits.shape[0]
     if G is None:
-        G = _group_size(n_pad, W, (1 << c) + 1)
+        G = _group_size(n_pad, W, num_buckets + 1)
     W_pad = ((W + G - 1) // G) * G
     if W_pad != W:
         # zero-digit filler windows: their sum is infinity, and they sit at
         # the MSB end of the Horner combine where doubling infinity is a no-op
         digits = jnp.pad(digits, ((0, W_pad - W), (0, 0)))
+        dneg = jnp.pad(dneg, ((0, W_pad - W), (0, 0)))
     perms = jnp.argsort(digits, axis=1)  # (W_pad, n_pad)
     d_sorted = jnp.take_along_axis(digits, perms, axis=1)
+    n_sorted = jnp.take_along_axis(dneg, perms, axis=1)
 
     def group_body(carry, xs):
-        perm, dsort = xs  # (G, n_pad)
+        perm, dsort, nsort = xs  # (G, n_pad)
         pts = _point_map(
             lambda a: jnp.take(a, perm.reshape(-1), axis=1).reshape(
                 a.shape[0], G, n_pad),
             points)
-        buckets = _bucket_accumulate(F, b3, pts, dsort, 1 << c, K)
-        s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (G,) batch
+        if signed:
+            pts = wst.pselect(F, nsort, wst.pneg(F, pts), pts)
+        buckets = _bucket_accumulate(F, b3, pts, dsort, num_buckets, K)
+        if signed:
+            # magnitudes span [0, half]; the power-of-two-sized weighted sum
+            # covers [1, half-1] and the top bucket contributes half * B_half
+            main = _point_map(lambda a: a[..., :half], buckets)
+            top = _point_map(lambda a: a[..., half], buckets)
+            s_w = _weighted_bucket_sum(F, b3, main, c - 1)
+            for _ in range(c - 1):
+                top = wst.pdbl(F, b3, top)
+            s_w = wst.padd(F, b3, s_w, top)
+        else:
+            s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (G,) batch
         return carry, tuple(s_w)
 
     _, group_sums = jax.lax.scan(
         group_body, 0,
         (perms.reshape(W_pad // G, G, n_pad),
-         d_sorted.reshape(W_pad // G, G, n_pad)))
+         d_sorted.reshape(W_pad // G, G, n_pad),
+         n_sorted.reshape(W_pad // G, G, n_pad)))
     # group_sums leaves: (W_pad//G, L, G) — flatten to window-major (W_pad, L)
     window_sums = _point_map(
         lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]),
