@@ -202,3 +202,80 @@ def dist_batch(fn, mesh: Mesh, axis: str = "shard"):
         )(*args)
 
     return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Distributed sumcheck tables
+#
+# The sequence-parallel-shaped axis of the sumcheck prover (SURVEY.md
+# section 5): the boolean-hypercube evaluation table sharded over the mesh.
+# ---------------------------------------------------------------------------
+
+def dist_fold_into_half(spec: FieldSpec, table, mesh: Mesh, r,
+                        axis: str = "shard"):
+    """Bind one hypercube variable of a mesh-sharded evaluation table.
+
+    table: (L, n) Montgomery limbs, contiguously sharded over the last axis
+    (n divisible by 2 * mesh size); r: (L,) replicated Montgomery scalar.
+    Returns the folded (L, n/2) table, still sharded.
+
+    The CUDA reference binds the top variable with stride 2^(v-1)
+    (sumcheck.cu:76-95), which under a contiguous shard layout would need a
+    ppermute halo of half the table per round.  Binding the LOW bit instead
+    (out[k] = t[2k] + r * (t[2k+1] - t[2k]), the layout our single-chip
+    prover already uses) keeps every (2k, 2k+1) pair inside one shard, so
+    every round is communication-free and the table never leaves the mesh.
+    """
+    D = mesh.shape[axis]
+    n = table.shape[-1]
+    assert n % (2 * D) == 0, "table shard must hold whole (even, odd) pairs"
+
+    def local(block, rb):
+        even = block[..., 0::2]
+        odd = block[..., 1::2]
+        return limb.add(
+            spec, even, limb.mont_mul(spec, limb.sub(spec, odd, even), rb))
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, None)),
+        out_specs=P(None, axis),
+        check_rep=False,
+    )(table, r.reshape(spec.L, 1))
+
+
+def dist_table_sum(spec: FieldSpec, table, mesh: Mesh, axis: str = "shard"):
+    """Field sum of a mesh-sharded table -> replicated (L,) element.
+
+    Local halving tree-sum per shard, then an all_gather of the D one-
+    element partials (tiny) and log2(D) modular adds, replicated — the
+    field-sum analog of the reference's single-block tree reduction
+    (sumcheck.cu:143-154).
+    """
+    D = mesh.shape[axis]
+    n = table.shape[-1]
+    assert n % D == 0 and (n // D) & (n // D - 1) == 0, (
+        "shard size must be a power of two")
+
+    def local(block):
+        acc = block
+        m = acc.shape[-1]
+        while m > 1:
+            half = m // 2
+            acc = limb.add(spec, acc[..., :half], acc[..., half:])
+            m = half
+        part = jax.lax.all_gather(acc[..., 0], axis)  # (D, L)
+        acc = jnp.moveaxis(part, 0, 1)  # (L, D)
+        m = acc.shape[-1]
+        while m > 1:
+            half = m // 2
+            acc = limb.add(spec, acc[..., :half], acc[..., half:])
+            m = half
+        return acc[..., 0]
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis),),
+        out_specs=P(None),
+        check_rep=False,
+    )(table)

@@ -51,3 +51,33 @@ def test_dist_msm_matches_host():
     got = bn254.g1_points_to_host(
         jax.tree_util.tree_map(lambda a: a[:, None], r))[0]
     assert got == exp
+
+
+def test_dist_sumcheck_fold_and_sum_match_single_chip():
+    from myzkp_tpu.fields import limb
+    from myzkp_tpu.protocols import sumcheck_tpu as st
+
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh(8)
+    rng = random.Random(3)
+    n = 128
+    vals = [rng.randrange(P32) for _ in range(n)]
+    table = Fp.from_int(spec, vals)
+    r_int = rng.randrange(1, P32)
+    r = Fp.from_int(spec, [r_int])
+
+    expected_fold = st.fold_into_half(table, Fp(spec, r.mont[:, 0]))
+    got_fold = pm.dist_fold_into_half(spec, table.mont, mesh, r.mont[:, 0])
+    assert np.array_equal(np.asarray(got_fold), np.asarray(expected_fold.mont))
+
+    expected_sum = sum(vals) % P32
+    got_sum = Fp(spec, pm.dist_table_sum(spec, table.mont, mesh))
+    assert int(got_sum.to_int()) == expected_sum
+
+    # fold all the way down across rounds, shards staying on-mesh
+    cur = table.mont
+    cur_ref = table
+    while cur.shape[-1] > 16:
+        cur = pm.dist_fold_into_half(spec, cur, mesh, r.mont[:, 0])
+        cur_ref = st.fold_into_half(cur_ref, Fp(spec, r.mont[:, 0]))
+    assert np.array_equal(np.asarray(cur), np.asarray(cur_ref.mont))
