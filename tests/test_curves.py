@@ -177,3 +177,21 @@ def test_msm_pippenger_edge_scalars():
     dev = bn254.g1_points_to_device(pts_host)
     sl = msm.scalars_from_int(bn254.r_spec(), ks)
     assert _to_host_single(msm.msm_pippenger(F, b3, dev, sl)) == exp
+
+
+def test_msm_pippenger_g2():
+    """Signed-digit + hierarchical bucket sum over Fq2 coordinates."""
+    g2 = bn254.g2_generator()
+    F2, b3 = bn254.g2_ops(), bn254.g2_b3(())
+    rng = random.Random(13)
+    n = 24
+    ks = [rng.randrange(0, bn254.R) for _ in range(n)]
+    pts_host = [g2 * rng.randrange(1, bn254.R) for _ in range(n)]
+    exp = pts_host[0].curve.infinity()
+    for k, p in zip(ks, pts_host):
+        exp = exp + p * k
+    dev = bn254.g2_points_to_device(pts_host)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    got = bn254.g2_points_to_host(jax.tree_util.tree_map(
+        lambda a: a[:, None], msm.msm_pippenger(F2, b3, dev, sl, c=6)))[0]
+    assert got == exp
