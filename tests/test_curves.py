@@ -195,3 +195,39 @@ def test_msm_pippenger_g2():
     got = bn254.g2_points_to_host(jax.tree_util.tree_map(
         lambda a: a[:, None], msm.msm_pippenger(F2, b3, dev, sl, c=6)))[0]
     assert got == exp
+
+
+def test_msm_resumable_checkpoint(tmp_path, msm_instance):
+    """Chunked MSM with a simulated crash: partial run, then resume."""
+    from myzkp_tpu.utils import checkpoint as ckpt
+
+    dev, sl, exp = msm_instance
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    path = str(tmp_path / "msm.npz")
+
+    # run only the first two chunks, then "crash"
+    class _Stop(Exception):
+        pass
+
+    orig = ckpt._save_state
+    calls = {"n": 0}
+
+    def hooked(p, i, a):
+        orig(p, i, a)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise _Stop
+
+    ckpt._save_state = hooked
+    try:
+        ckpt.msm_resumable(F, b3, dev, sl, path, chunk=16)
+        assert False, "should have crashed after 2 chunks"
+    except _Stop:
+        pass
+    finally:
+        ckpt._save_state = orig
+    assert calls["n"] == 2
+
+    got = ckpt.msm_resumable(F, b3, dev, sl, path, chunk=16)
+    assert _to_host_single(got) == exp
+    assert not (tmp_path / "msm.npz").exists()  # cleaned up on completion
