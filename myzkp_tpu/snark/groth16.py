@@ -1,0 +1,216 @@
+"""Groth16 zk-SNARK on BN254: setup / prove / verify.
+
+Beyond-reference addition: the reference's SNARK ladder stops at Pinocchio
+(myzkp/src/modules/zksnark/pinocchio.rs — 8 proof elements, 12 verifier
+pairings); Groth16 (Groth, EUROCRYPT 2016) is the 3-element, 3-pairing
+production SNARK built on the exact same QAP arithmetization
+(arithmetization/qap.rs:5-41), so a user scaling past the tutorial ladder
+finds the protocol real systems deploy.
+
+TPU-first structure, same discipline as pinocchio.py: the whole proving /
+verifying key is TWO batched device scalar-multiplications at setup, the
+prover is four Pippenger MSMs (A, B in both groups, C) plus the QAP's
+NTT/coset h-polynomial, and only the verifier's product of 4 pairings runs
+host-side (native multi-pairing, one shared final exponentiation).
+
+Conventions: witness index 0 is the constant one-wire; indices
+[0, num_public) are the public inputs (statement), the rest are private.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from dataclasses import dataclass
+
+import jax
+
+from ..arith.qap import QAP
+from ..curves import bn254, msm as _msm, weierstrass as wst
+from ..fields import limb
+from ..fields.fp import Fp
+from ..fields.python_field import PyPoint
+from .pinocchio import _cat, _g_multi, _geometric, _msm_g1, _msm_g2, \
+    _single, _split, _std
+
+
+@dataclass
+class Groth16ProvingKey:
+    g1_alpha: wst.Point  # (1,) batches for the shift terms
+    g1_beta: wst.Point
+    g1_delta: wst.Point
+    g2_beta: wst.Point
+    g2_delta: wst.Point
+    g1_xj: wst.Point      # (m,)  [x^j]G1, j = 0..m-1
+    g2_xj: wst.Point      # (m,)  [x^j]G2
+    g1_k_priv: wst.Point  # (d - num_public,)  [(beta u_i + alpha v_i + w_i)/delta]G1
+    g1_ht: wst.Point      # (m-1,) [x^j t(x)/delta]G1, j = 0..m-2
+    num_public: int
+
+
+@dataclass
+class Groth16VerifyingKey:
+    g1_alpha: PyPoint
+    g2_beta: PyPoint
+    g2_gamma: PyPoint
+    g2_delta: PyPoint
+    g1_k_pub: wst.Point  # (num_public,) [(beta u_i + alpha v_i + w_i)/gamma]G1
+    num_public: int
+
+
+@dataclass
+class Groth16Proof:
+    a: PyPoint   # G1
+    b: PyPoint   # G2
+    c: PyPoint   # G1
+
+
+def setup(qap: QAP, num_public: int, rng=None
+          ) -> tuple[Groth16ProvingKey, Groth16VerifyingKey]:
+    """Trusted setup with toxic waste (alpha, beta, gamma, delta, x)."""
+    rng = rng or _random
+    R = bn254.R
+    alpha, beta, gamma, delta = (rng.randrange(1, R) for _ in range(4))
+    x = rng.randrange(1, R)
+    spec = qap.spec
+    m, d = qap.m, qap.d
+    assert 0 < num_public <= d
+
+    u_x, v_x, w_x, t_x_fp = qap.eval_all_at(x)  # (d,) each
+    t_x = int(t_x_fp.item())
+    gamma_inv = pow(gamma, -1, R)
+    delta_inv = pow(delta, -1, R)
+
+    mk = lambda v: Fp.from_int(spec, v)
+    # K_i = beta u_i(x) + alpha v_i(x) + w_i(x)  (device, batched)
+    k_all = u_x * mk(beta) + v_x * mk(alpha) + w_x
+    k_pub = Fp(spec, k_all.mont[..., :num_public]) * mk(gamma_inv)
+    k_priv = Fp(spec, k_all.mont[..., num_public:]) * mk(delta_inv)
+
+    x_pows = Fp.from_int(spec, _geometric(x, m, R))
+    ht = Fp.from_int(
+        spec, [p * t_x % R * delta_inv % R
+               for p in _geometric(x, m - 1, R)])
+
+    g1_scalars = _cat(
+        mk([alpha, beta, delta]),
+        x_pows,                      # (m)
+        k_priv,                      # (d - num_public)
+        ht,                          # (m - 1)
+        k_pub,                       # (num_public)
+    )
+    g2_scalars = _cat(mk([beta, gamma, delta]), x_pows)
+
+    g1_all = _g_multi("g1", _std(g1_scalars))
+    g2_all = _g_multi("g2", _std(g2_scalars))
+
+    g1_abd, g1_xj, g1_kpriv, g1_ht, g1_kpub = _split(
+        g1_all, [3, m, d - num_public, m - 1, num_public])
+    g2_bgd, g2_xj = _split(g2_all, [3, m])
+    g1s = _split(g1_abd, [1, 1, 1])
+    g2s = _split(g2_bgd, [1, 1, 1])
+
+    pk = Groth16ProvingKey(
+        g1_alpha=g1s[0], g1_beta=g1s[1], g1_delta=g1s[2],
+        g2_beta=g2s[0], g2_delta=g2s[2],
+        g1_xj=g1_xj, g2_xj=g2_xj, g1_k_priv=g1_kpriv, g1_ht=g1_ht,
+        num_public=num_public,
+    )
+    vk = Groth16VerifyingKey(
+        g1_alpha=bn254.g1_points_to_host(g1s[0])[0],
+        g2_beta=bn254.g2_points_to_host(g2s[0])[0],
+        g2_gamma=bn254.g2_points_to_host(g2s[1])[0],
+        g2_delta=bn254.g2_points_to_host(g2s[2])[0],
+        g1_k_pub=g1_kpub, num_public=num_public,
+    )
+    return pk, vk
+
+
+def _smul1(pt: wst.Point, k: int) -> wst.Point:
+    """[k] * (a (1,)-batch G1/G2 point) -> unbatched."""
+    is_g2 = isinstance(pt.x, tuple)
+    F = bn254.g2_ops() if is_g2 else bn254.g1_ops()
+    b3 = bn254.g2_b3(()) if is_g2 else bn254.g1_b3(())
+    bits = _msm.scalar_bits(
+        _msm.scalars_from_int(bn254.r_spec(), [k % bn254.R]))
+    return _single(wst.scalar_mul_bits(F, b3, pt, bits))
+
+
+def _h_coeffs(qap: QAP, assignment: Fp) -> Fp:
+    """h = (u v - w)/t as exactly m-1 coefficients (deg h <= m-2)."""
+    spec = qap.spec
+    h = qap.h_poly(assignment).coef
+    n = h.shape[-1]
+    m = qap.m
+    if n >= m - 1:
+        return Fp(spec, h.mont[..., : m - 1])
+    import jax.numpy as jnp
+
+    pad = [(0, 0)] * h.mont.ndim
+    pad[-1] = (0, m - 1 - n)
+    return Fp(spec, jnp.pad(h.mont, pad))
+
+
+def prove(assignment: Fp, pk: Groth16ProvingKey, qap: QAP, rng=None
+          ) -> Groth16Proof:
+    """A = alpha + u(x) + r delta;  B = beta + v(x) + s delta;
+    C = (sum_priv a_i K_i + h(x) t(x))/delta + s A + r B1 - r s delta."""
+    rng = rng or _random
+    R = bn254.R
+    r_rand, s_rand = rng.randrange(1, R), rng.randrange(1, R)
+    spec = qap.spec
+    F1, b31 = bn254.g1_ops(), bn254.g1_b3(())
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+
+    u_p, v_p, _ = qap.combine(assignment)  # (m,) coefficient polys
+    a_std = _std(assignment)
+    npub = pk.num_public
+
+    A = wst.padd(F1, b31, _msm_g1(pk.g1_xj, _std(u_p.coef)),
+                 _single(pk.g1_alpha))
+    A = wst.padd(F1, b31, A, _smul1(pk.g1_delta, r_rand))
+
+    vB = _std(v_p.coef)
+    B2 = wst.padd(F2, b32, _msm_g2(pk.g2_xj, vB), _single(pk.g2_beta))
+    B2 = wst.padd(F2, b32, B2, _smul1(pk.g2_delta, s_rand))
+    B1 = wst.padd(F1, b31, _msm_g1(pk.g1_xj, vB), _single(pk.g1_beta))
+    B1 = wst.padd(F1, b31, B1, _smul1(pk.g1_delta, s_rand))
+
+    h_std = _std(_h_coeffs(qap, assignment))
+    C = wst.padd(F1, b31, _msm_g1(pk.g1_k_priv, a_std[:, npub:]),
+                 _msm_g1(pk.g1_ht, h_std))
+    bits_s = _msm.scalar_bits(_msm.scalars_from_int(bn254.r_spec(), [s_rand]))
+    bits_r = _msm.scalar_bits(_msm.scalars_from_int(bn254.r_spec(), [r_rand]))
+    C = wst.padd(F1, b31, C, _single(wst.scalar_mul_bits(
+        F1, b31, jax.tree_util.tree_map(lambda a: a[:, None], A), bits_s)))
+    C = wst.padd(F1, b31, C, _single(wst.scalar_mul_bits(
+        F1, b31, jax.tree_util.tree_map(lambda a: a[:, None], B1), bits_r)))
+    C = wst.padd(F1, b31, C, wst.pneg(
+        F1, _smul1(pk.g1_delta, r_rand * s_rand % R)))
+
+    def h1(pt):
+        return bn254.g1_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    def h2(pt):
+        return bn254.g2_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    return Groth16Proof(a=h1(A), b=h2(B2), c=h1(C))
+
+
+def verify(proof: Groth16Proof, vk: Groth16VerifyingKey,
+           public_inputs: list[int]) -> bool:
+    """e(A, B) == e(alpha, beta) e(D, gamma) e(C, delta) with
+    D = sum_pub a_i [K_i/gamma]G1 — one product of 4 pairings, one shared
+    final exponentiation (native multi-pairing when available)."""
+    assert len(public_inputs) == vk.num_public
+    D_dev = _msm_g1(vk.g1_k_pub, _msm.scalars_from_int(
+        bn254.r_spec(), [v % bn254.R for v in public_inputs]))
+    D = bn254.g1_points_to_host(
+        jax.tree_util.tree_map(lambda a: a[:, None], D_dev))[0]
+    return bn254.pairing_product_is_one([
+        (-proof.a, proof.b),
+        (vk.g1_alpha, vk.g2_beta),
+        (D, vk.g2_gamma),
+        (proof.c, vk.g2_delta),
+    ])

@@ -79,3 +79,26 @@ def test_pinocchio_accept_reject(r1cs):
     assert pin.verify(proof, vk)
     bad = pin.prove(Fp.from_int(spec, WRONG), pk, qap, rng=rng)
     assert not pin.verify(bad, vk)
+
+
+# ---------------------------------------------------------------------------
+# Groth16 (beyond-reference: the production 3-element SNARK on the same QAP)
+# ---------------------------------------------------------------------------
+
+def test_groth16_end_to_end(r1cs):
+    from myzkp_tpu.snark import groth16 as g16
+
+    spec = bn254.r_spec()
+    rng = random.Random(99)
+    qap = QAP.from_r1cs(r1cs)
+    pk, vk = g16.setup(qap, num_public=2, rng=rng)
+
+    proof = g16.prove(Fp.from_int(spec, WITNESS), pk, qap, rng=rng)
+    assert g16.verify(proof, vk, WITNESS[:2])
+
+    # wrong public statement rejects
+    assert not g16.verify(proof, vk, [1, 211])
+
+    # wrong (private) witness rejects
+    bad = g16.prove(Fp.from_int(spec, WRONG), pk, qap, rng=rng)
+    assert not g16.verify(bad, vk, WRONG[:2])
