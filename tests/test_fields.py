@@ -135,3 +135,20 @@ def test_pyext_gf_small():
         acc = acc * x
     assert len(seen) == 7
     assert acc == x
+
+
+def test_stage_metrics():
+    import jax.numpy as jnp
+
+    from myzkp_tpu.utils.metrics import StageMetrics
+
+    sm = StageMetrics()
+    x = jnp.arange(8)
+    with sm.stage("square", x):
+        y = x * x
+    with sm.stage("square", y):
+        y = y * y
+    assert sm.counts["square"] == 2 and sm.seconds["square"] > 0
+    assert "square" in sm.report()
+    sm.reset()
+    assert not sm.seconds
