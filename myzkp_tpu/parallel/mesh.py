@@ -50,6 +50,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(n_dcn: int, n_ici: int, dcn_axis: str = "dcn",
+                 ici_axis: str = "ici") -> Mesh:
+    """2D mesh: outer axis = hosts over DCN, inner axis = chips over ICI.
+
+    Layout discipline: per-problem collectives (NTT all_to_all, MSM bucket
+    reduction) ride the fast inner ``ici`` axis; only pure data parallelism
+    (independent proofs, `dist_batch` / the batch axis of `dist_ntt`)
+    crosses the slower ``dcn`` axis.  On a real pod, `jax.devices()` orders
+    devices host-major, so the row-major reshape puts each host's chips in
+    one ici row.
+    """
+    need = n_dcn * n_ici
+    devs = jax.devices()
+    if len(devs) < need:
+        try:
+            devs = jax.devices("cpu")
+        except RuntimeError:
+            pass
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    grid = np.array(devs[:need]).reshape(n_dcn, n_ici)
+    return Mesh(grid, (dcn_axis, ici_axis))
+
+
 # ---------------------------------------------------------------------------
 # Distributed NTT (four-step decomposition)
 # ---------------------------------------------------------------------------
@@ -73,8 +96,9 @@ def _twiddle_matrix(spec: FieldSpec, n: int, n1: int, n2: int,
 
 
 def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
-             inverse: bool = False):
-    """NTT of a (L, n) Montgomery limb array sharded over the mesh.
+             inverse: bool = False, batch_axis: str | None = None,
+             _scale: int | None = None):
+    """NTT of a (L, [B,] n) Montgomery limb array sharded over the mesh.
 
     Decomposition: view i = i1*n2 + i2 as (n1, n2) with n2 sharded.
       1. local NTT over i1  (columns; each device holds full columns after
@@ -82,8 +106,12 @@ def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
       2. twiddle by w_n^(k1*i2)
       3. all_to_all transpose -> (L, n2, n1/D)
       4. local NTT over i2
-    Output: natural-order NTT, laid out as (L, n2, n1) (k = k1 + n1*k2 at
-    [.., k2, k1]); ``dist_intt`` inverts with the same traffic pattern.
+    Output: natural-order NTT, laid out as (L, [B,] n2, n1) (k = k1 + n1*k2
+    at [.., k2, k1]).  With ``batch_axis`` set (2D DCN x ICI mesh), the
+    optional leading batch dim B is sharded over that axis and the
+    all_to_all rides only the inner ``axis`` — independent transforms never
+    cross the DCN boundary.  ``dist_intt`` inverts (w^-1 plus the 1/n
+    scaling) with the same traffic pattern.
     """
     n = a.shape[-1]
     D = mesh.shape[axis]
@@ -92,28 +120,61 @@ def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
     tw = jnp.asarray(_twiddle_matrix(spec, n, n1, n2, inverse))
 
     A = a.reshape(a.shape[:-1] + (n1, n2))
+    nd = A.ndim
+    split_ax, concat_ax = nd - 2, nd - 1
+
+    if _scale is not None:
+        sc = spec.to_mont_int(_scale % spec.p)
+        sc_arr = jnp.array(
+            [(sc >> (16 * i)) & 0xFFFF for i in range(spec.L)],
+            dtype=jnp.uint32).reshape((spec.L,) + (1,) * (nd - 1))
+    else:
+        sc_arr = None
 
     def local(block, tw_block):
-        # block: (L, n1, n2/D) — NTT over axis -2 (i1); the Stockham core
-        # autosorts, so both local transforms come out in natural order
-        x = jnp.swapaxes(block, -1, -2)  # (L, n2/D, n1)
+        # block: (L, [B/Db,] n1, n2/D) — NTT over axis -2 (i1); the Stockham
+        # core autosorts, so both local transforms come out in natural order
+        x = jnp.swapaxes(block, -1, -2)  # (.., n2/D, n1)
         x = _ntt._ntt_natural(spec, x, inverse)
-        x = jnp.swapaxes(x, -1, -2)  # (L, n1, n2/D)
+        x = jnp.swapaxes(x, -1, -2)  # (.., n1, n2/D)
         x = limb.mont_mul(spec, x, tw_block)
-        # transpose across devices: (L, n1, n2/D) -> (L, n2, n1/D)
-        x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
-                               tiled=True)
-        # now (L, n1/D, n2): NTT over i2 (last axis)
+        # transpose across devices: (.., n1, n2/D) -> (.., n2, n1/D)
+        x = jax.lax.all_to_all(x, axis, split_axis=split_ax,
+                               concat_axis=concat_ax, tiled=True)
+        # now (.., n1/D, n2): NTT over i2 (last axis)
         y = _ntt._ntt_natural(spec, x, inverse)
-        return jnp.swapaxes(y, -1, -2)  # (L, n2, n1/D)
+        if sc_arr is not None:  # on-shard scaling (e.g. 1/n for dist_intt)
+            y = limb.mont_mul(spec, y, jnp.broadcast_to(sc_arr, y.shape))
+        return jnp.swapaxes(y, -1, -2)  # (.., n2, n1/D)
 
+    dims = [None] * nd
+    dims[-1] = axis
+    if batch_axis is not None:
+        assert nd >= 4, "batch_axis requires a (L, B, n) input"
+        dims[1] = batch_axis
+    pspec = P(*dims)
     f = shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, None, axis), P(None, None, axis)),
-        out_specs=P(None, None, axis),
+        in_specs=(pspec, P(None, None, axis)),
+        out_specs=pspec,
         check_rep=False,
     )
     return f(A, tw), (n1, n2)
+
+
+def dist_intt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
+              batch_axis: str | None = None):
+    """Inverse NTT of a natural-order (L, [B,] n) array sharded over the
+    mesh: the four-step transform with w^-1 plus the 1/n scaling (the
+    single-chip contract of ops.ntt.intt, parity ntt.rs:50-64).
+
+    Output layout matches dist_ntt: (L, [B,] n2, n1), still sharded; flatten
+    with dist_ntt_to_natural.  The scaling is one replicated-constant
+    mont_mul, elementwise, so it stays on-shard (no extra traffic).
+    """
+    n = a.shape[-1]
+    return dist_ntt(spec, a, mesh, axis=axis, inverse=True,
+                    batch_axis=batch_axis, _scale=pow(n, -1, spec.p))
 
 
 def _pick_n2(n: int, d: int) -> int:
@@ -132,6 +193,63 @@ def dist_ntt_to_natural(spec: FieldSpec, sharded_out, n1: int, n2: int):
     (n2, n1) trailing axes is already natural order."""
     arr = jnp.asarray(sharded_out)
     return arr.reshape(arr.shape[:-2] + (n1 * n2,))
+
+
+# ---------------------------------------------------------------------------
+# Distributed FRI codeword folding + Merkle-leaf sharding (SURVEY §5
+# "codeword/Merkle-leaf sharding for FRI/STARK")
+# ---------------------------------------------------------------------------
+
+def dist_fri_fold(spec: FieldSpec, cw, mesh: Mesh, alpha: int, offset: int,
+                  omega: int, axis: str = "shard"):
+    """One FRI fold round of a mesh-sharded codeword.
+
+    cw: (L, n) Montgomery limbs sharded over the last axis; returns the
+    (L, n/2) folded codeword, still sharded.  The fold pairs element i with
+    i + n/2, which live on opposite mesh halves — the global expression is
+    written once (stark/fri.fold_codeword) under sharding constraints and
+    XLA inserts the one collective-permute for the half-split (the
+    scaling-book recipe: annotate shardings, let XLA place collectives).
+    """
+    from ..stark.fri import fold_codeword
+
+    sh = NamedSharding(mesh, P(None, axis))
+
+    @functools.partial(jax.jit, out_shardings=sh)
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, sh)
+        return fold_codeword(spec, x, alpha, offset, omega)
+
+    return run(cw)
+
+
+def dist_merkle_tree(spec: FieldSpec, cw_std, mesh: Mesh | None = None):
+    """Merkle tree of a mesh-sharded codeword via per-shard subtrees.
+
+    cw_std: (L, n) standard-domain limbs, sharded over the last axis (or
+    replicated / single-device).  Each addressable shard is fetched and
+    hashed independently — on a multi-host pod every host hashes only its
+    local shard — then the D subtree roots are reduced by a tiny top tree
+    (utils.merkle.DistMerkleTree).  Root and auth paths are bit-identical
+    to the monolithic tree over the gathered codeword.
+    """
+    from ..utils import merkle as _merkle
+
+    shards = list(getattr(cw_std, "addressable_shards", []) or [])
+    # dedupe replicated copies (same index range on several devices)
+    uniq = {}
+    for s in shards:
+        uniq.setdefault(s.index[-1].start or 0, s)
+    shards = [uniq[k] for k in sorted(uniq)]
+    if len(shards) > 1:
+        leaves = []
+        for s in shards:
+            leaves.extend(limb.to_bytes_batch(spec, np.asarray(s.data)))
+        n_shards = len(shards)
+    else:
+        leaves = limb.to_bytes_batch(spec, np.asarray(cw_std))
+        n_shards = 1
+    return _merkle.DistMerkleTree(leaves, n_shards)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +317,7 @@ def dist_batch(fn, mesh: Mesh, axis: str = "shard"):
             fn, mesh=mesh,
             in_specs=tuple(P(axis) for _ in args),
             out_specs=P(axis),
+            check_rep=False,
         )(*args)
 
     return wrapped

@@ -28,7 +28,7 @@ from ..ops.poly import Poly
 from ..utils import merkle
 from ..utils.fiat_shamir import FiatShamirTransformer
 from .fri import FRI, _int_from_le, codeword_bytes, _host_eval
-from .stark import Stark, StarkProof, _shift_poly
+from .stark import Stark, StarkProof, _shift_poly, check_openings
 
 
 @dataclass
@@ -202,6 +202,21 @@ class FastStark(Stark):
             duplicated.append((i + self.expansion_factor) % n_fri)
         duplicated = sorted(duplicated)
 
+        # structural validation: reject malformed proofs instead of crashing
+        leaf_w = 2 * spec.L
+        nd = len(duplicated)
+        if len(proof.bqc_roots) != self.num_registers or not all(
+                isinstance(r, bytes) and len(r) == 32
+                for r in proof.bqc_roots):
+            return False
+        if not check_openings(proof.bqc_points, proof.bqc_paths,
+                              self.num_registers * nd, leaf_w):
+            return False
+        if not check_openings(proof.rdc_points, proof.rdc_paths, nd, leaf_w):
+            return False
+        if not check_openings(proof.tzc_points, proof.tzc_paths, nd, leaf_w):
+            return False
+
         leafs = []
         ctr = 0
         for r in range(len(proof.bqc_roots)):
@@ -255,6 +270,8 @@ class FastStark(Stark):
             point = [dci] + current_trace + next_trace
             tcv = [a.evaluate(point) for a in air]
             tz_val = _int_from_le(tz_leafs[current_index])
+            if tz_val % p == 0:
+                return False  # forged zerofier opening; reject, don't raise
             tz_inv = pow(tz_val, -1, p)
 
             terms = [_int_from_le(randomizer[current_index])]

@@ -84,6 +84,34 @@ def codeword_from_bytes(spec: FieldSpec, bs: list[bytes]) -> Fp:
 
 
 # ---------------------------------------------------------------------------
+# The fold kernel (module-level so the distributed layer can reuse it)
+# ---------------------------------------------------------------------------
+
+def fold_codeword(spec: FieldSpec, cw_mont, alpha: int, offset: int,
+                  omega: int):
+    """cw' = 1/2 [ (1 + a/(o w^i)) cw_i + (1 - a/(o w^i)) cw_{i+n/2} ].
+
+    Raw Montgomery limb arrays (L, n) -> (L, n/2); parity fri.rs:182-195 as
+    one vectorized expression.  ``parallel.mesh.dist_fri_fold`` runs this
+    same expression under a sharding constraint so XLA inserts the
+    cross-device permute for the half-split.
+    """
+    n = cw_mont.shape[-1]
+    half = n // 2
+    p = spec.p
+    inv_od = _ntt.geometric_series(
+        spec, pow(omega, -1, p), half
+    ) * Fp.from_int(spec, pow(offset, -1, p))
+    factor = inv_od * Fp.from_int(spec, alpha)  # alpha / (offset w^i)
+    one = Fp.ones(spec, (half,))
+    left = Fp(spec, cw_mont[..., :half])
+    right = Fp(spec, cw_mont[..., half:])
+    half_inv = Fp.from_int(spec, pow(2, -1, p))
+    out = ((one + factor) * left + (one - factor) * right) * half_inv
+    return out.mont
+
+
+# ---------------------------------------------------------------------------
 # FRI proper
 # ---------------------------------------------------------------------------
 
@@ -132,21 +160,9 @@ class FRI:
 
     # -- fold (device) -------------------------------------------------------
     def _fold(self, cw: Fp, alpha: int, offset: int, omega: int) -> Fp:
-        """cw' = 1/2 [ (1 + a/(o w^i)) cw_i + (1 - a/(o w^i)) cw_{i+n/2} ].
-
-        Parity: fri.rs:182-195, as one vectorized expression.
-        """
-        spec = self.spec
-        n = cw.shape[-1]
-        half = n // 2
-        inv_od = _ntt.geometric_series(
-            spec, pow(omega, -1, spec.p), half
-        ) * Fp.from_int(spec, pow(offset, -1, spec.p))
-        factor = inv_od * Fp.from_int(spec, alpha)  # alpha / (offset w^i)
-        one = Fp.ones(spec, (half,))
-        left, right = cw[:half], cw[half:]
-        half_inv = Fp.from_int(spec, pow(2, -1, spec.p))
-        return ((one + factor) * left + (one - factor) * right) * half_inv
+        """See fold_codeword (parity: fri.rs:182-195)."""
+        return Fp(self.spec,
+                  fold_codeword(self.spec, cw.mont, alpha, offset, omega))
 
     # -- commit phase --------------------------------------------------------
     def commit(self, codeword: Fp, proof_stream: FiatShamirTransformer):
@@ -214,9 +230,52 @@ class FRI:
         )
 
     # -- verification --------------------------------------------------------
+    def _well_formed(self, proof: FriProof) -> bool:
+        """Structural validation so malformed proofs REJECT instead of
+        crashing the verifier (the reference returns clean failures,
+        fri.rs:258-405; round-1 review flagged assert/index crashes here)."""
+        rounds = self.num_rounds()
+        if not isinstance(proof.merkle_roots, (list, tuple)) or \
+                len(proof.merkle_roots) != rounds:
+            return False
+        if not all(isinstance(r, bytes) and len(r) == 32
+                   for r in proof.merkle_roots):
+            return False
+        leaf_w = 2 * self.spec.L
+        nlast = self.domain_length >> (rounds - 1)
+        if not isinstance(proof.last_codeword, (list, tuple)) or \
+                len(proof.last_codeword) != nlast:
+            return False
+        if not all(isinstance(b, bytes) and len(b) == leaf_w
+                   for b in proof.last_codeword):
+            return False
+        if not isinstance(proof.revealed_layers, (list, tuple)) or \
+                len(proof.revealed_layers) != rounds - 1:
+            return False
+        t = self.num_colinearity_tests
+        for layer in proof.revealed_layers:
+            for side in (layer.a, layer.b, layer.c):
+                if len(side) != 2:
+                    return False
+                vals, paths = side
+                if len(vals) != t or len(paths) != t:
+                    return False
+                if not all(isinstance(v, bytes) and len(v) == leaf_w
+                           for v in vals):
+                    return False
+                if not all(_path_ok(pp, leaf_w) for pp in paths):
+                    return False
+        return True
+
     def verify(self, proof: FriProof, polynomial_values: list) -> bool:
         """Parity: fri.rs:258-405.  Appends (index, value_int) pairs of the
-        top-level codeword to polynomial_values."""
+        top-level codeword to polynomial_values.  Malformed proofs return
+        False (never raise)."""
+        try:
+            if not self._well_formed(proof):
+                return False
+        except (TypeError, AttributeError):
+            return False
         p = self.spec.p
         proof_stream = FiatShamirTransformer()
         omega, offset = self.omega, self.offset
@@ -238,8 +297,9 @@ class FRI:
         for _ in range(self.num_rounds() - 1):
             last_omega = last_omega * last_omega % p
             last_offset = last_offset * last_offset % p
-        assert pow(last_omega, -1, p) == pow(last_omega, nlast - 1, p), \
-            "omega does not have right order"
+        if last_omega % p == 0 or \
+                pow(last_omega, -1, p) != pow(last_omega, nlast - 1, p):
+            return False  # omega does not have the right order
         xs, acc = [], last_offset
         for _ in range(nlast):
             xs.append(acc)
@@ -296,6 +356,18 @@ class FRI:
             offset = offset * offset % p
 
         return True
+
+
+def _path_ok(path, leaf_w: int) -> bool:
+    """A Merkle auth path: sibling LEAF first (2L bytes), then 32-byte
+    interior digests (stored-level node semantics, utils/merkle.py)."""
+    if not isinstance(path, (list, tuple)):
+        return False
+    if not all(isinstance(s, bytes) for s in path):
+        return False
+    if path and len(path[0]) != leaf_w:
+        return False
+    return all(len(s) == 32 for s in path[1:])
 
 
 def _int_from_le(b: bytes) -> int:

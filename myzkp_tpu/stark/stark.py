@@ -281,6 +281,19 @@ class Stark:
             duplicated.append((i + self.expansion_factor) % n_fri)
         duplicated = sorted(duplicated)
 
+        # structural validation: reject malformed proofs instead of crashing
+        leaf_w = 2 * spec.L
+        nd = len(duplicated)
+        if len(proof.bqc_roots) != self.num_registers or not all(
+                isinstance(r, bytes) and len(r) == 32
+                for r in proof.bqc_roots):
+            return False
+        if not check_openings(proof.bqc_points, proof.bqc_paths,
+                              self.num_registers * nd, leaf_w):
+            return False
+        if not check_openings(proof.rdc_points, proof.rdc_paths, nd, leaf_w):
+            return False
+
         # boundary quotient leafs
         leafs = []
         ctr = 0
@@ -350,6 +363,22 @@ class Stark:
             if combination != values[i] % p:
                 return False
         return True
+
+
+def check_openings(points, paths, n: int, leaf_w: int) -> bool:
+    """Structural validation of a (points, paths) opening list: exactly n
+    leaf byte-strings of width leaf_w with 32-byte-hash auth paths.  Keeps
+    malformed proofs on the clean-reject path (the reference's verifier
+    returns failures rather than panicking, stark.rs:323-471)."""
+    if not isinstance(points, (list, tuple)) or len(points) != n:
+        return False
+    if not isinstance(paths, (list, tuple)) or len(paths) != n:
+        return False
+    if not all(isinstance(v, bytes) and len(v) == leaf_w for v in points):
+        return False
+    from .fri import _path_ok
+
+    return all(_path_ok(pp, leaf_w) for pp in paths)
 
 
 def _shift_poly(q: Poly, shift: int, cap: int) -> Poly:

@@ -52,6 +52,50 @@ class MerkleTree:
         return path
 
 
+class DistMerkleTree:
+    """Merkle tree built as D independent subtrees + a top tree (SURVEY §5
+    "Merkle subtree parallelism").
+
+    The leaf list is split into ``n_shards`` contiguous power-of-two chunks —
+    the layout of a codeword sharded over a device mesh, where each host
+    hashes only the leaves it already holds — subtree roots are then gathered
+    and reduced by a tiny top tree.  Subtrees hash concurrently (the native
+    SHA3 batch kernel releases the GIL via ctypes).  The root and every auth
+    path are bit-identical to the monolithic ``MerkleTree`` over the same
+    leaves (node semantics of merkle.rs:15-66).
+    """
+
+    def __init__(self, leaves: list[bytes], n_shards: int,
+                 parallel: bool = True):
+        n = len(leaves)
+        assert n >= 1 and (n & (n - 1)) == 0, "leaf count must be a power of two"
+        assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
+        assert n % n_shards == 0 and n // n_shards >= 1
+        self.n = n
+        self.n_shards = n_shards
+        self.shard_size = n // n_shards
+        chunks = [leaves[i * self.shard_size : (i + 1) * self.shard_size]
+                  for i in range(n_shards)]
+        if parallel and n_shards > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(n_shards, 8)) as ex:
+                self.subtrees = list(ex.map(MerkleTree, chunks))
+        else:
+            self.subtrees = [MerkleTree(c) for c in chunks]
+        self.top = MerkleTree([t.root for t in self.subtrees])
+
+    @property
+    def root(self) -> bytes:
+        return self.top.root
+
+    def open(self, index: int) -> list[bytes]:
+        """Auth path, leaf level first — verifies with ``verify`` against
+        ``root`` exactly like a monolithic tree's path."""
+        shard, local = divmod(index, self.shard_size)
+        return self.subtrees[shard].open(local) + self.top.open(shard)
+
+
 def commit(leaves: list[bytes]) -> bytes:
     """One-shot root (parity: merkle.rs:15-25)."""
     return MerkleTree(leaves).root

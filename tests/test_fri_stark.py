@@ -86,6 +86,54 @@ def test_fri_accept_and_export(fri_setup):
         assert v == vals[idx]
 
 
+def test_fri_reject_malformed_without_crashing(fri_setup):
+    """Malformed proofs must return False, never raise (fri.rs:258-405
+    returns clean failures; round-1 review flagged crash paths here)."""
+    import copy
+    import dataclasses
+
+    f, vals = fri_setup
+    spec = f.spec
+    good = f.prove(Fp.from_int(spec, vals))
+
+    def mutate(**kw):
+        return dataclasses.replace(copy.deepcopy(good), **kw)
+
+    # truncated / empty / swapped roots
+    assert not f.verify(mutate(merkle_roots=good.merkle_roots[:-1]), [])
+    assert not f.verify(mutate(merkle_roots=[]), [])
+    swapped = list(good.merkle_roots)
+    swapped[0], swapped[1] = swapped[1], swapped[0]
+    assert not f.verify(mutate(merkle_roots=swapped), [])
+    assert not f.verify(mutate(merkle_roots=[b"x" * 31] +
+                               good.merkle_roots[1:]), [])
+    # truncated / wrong-width last codeword
+    assert not f.verify(mutate(last_codeword=good.last_codeword[:-1]), [])
+    assert not f.verify(mutate(last_codeword=[b"\0"] *
+                               len(good.last_codeword)), [])
+    assert not f.verify(mutate(last_codeword=[]), [])
+    # truncated revealed layers
+    assert not f.verify(mutate(revealed_layers=good.revealed_layers[:-1]), [])
+    assert not f.verify(mutate(revealed_layers=[]), [])
+    # wrong-size leaves inside a layer
+    bad = copy.deepcopy(good)
+    bad.revealed_layers[0].a[0][0] = b"\x01\x02"
+    assert not f.verify(bad, [])
+    # truncated auth path list
+    bad = copy.deepcopy(good)
+    bad.revealed_layers[0].b[1].pop()
+    assert not f.verify(bad, [])
+    # path entries of the wrong width
+    bad = copy.deepcopy(good)
+    bad.revealed_layers[0].c[1][0] = [b"zz"] * len(
+        bad.revealed_layers[0].c[1][0])
+    assert not f.verify(bad, [])
+    # non-list garbage
+    assert not f.verify(mutate(revealed_layers=42), [])
+    # the pristine proof still verifies after all that copying
+    assert f.verify(good, [])
+
+
 def test_fri_reject_corrupted(fri_setup):
     f, vals = fri_setup
     spec = f.spec

@@ -53,6 +53,121 @@ def test_dist_msm_matches_host():
     assert got == exp
 
 
+def test_dist_intt_matches_single_chip():
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh(8)
+    n = 512
+    rng = random.Random(5)
+    vals = [rng.randrange(P32) for _ in range(n)]
+    a = Fp.from_int(spec, vals)
+    evals = ntt.ntt(a)  # natural-order evaluations
+    out, (n1, n2) = pm.dist_intt(spec, evals.mont, mesh)
+    nat = pm.dist_ntt_to_natural(spec, out, n1, n2)
+    # inverse of the forward transform recovers the coefficients exactly
+    assert np.array_equal(np.asarray(nat), np.asarray(a.mont))
+    # and bit-matches the single-chip intt
+    expected = ntt.intt(evals)
+    assert np.array_equal(np.asarray(nat), np.asarray(expected.mont))
+
+
+def test_dist_ntt_batch_axis_2d_mesh():
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh_2d(2, 4)
+    rng = random.Random(6)
+    B, n = 4, 128
+    rows = [[rng.randrange(P32) for _ in range(n)] for _ in range(B)]
+    a = Fp.from_int(spec, rows)  # (B, n)
+    out, (n1, n2) = pm.dist_ntt(spec, a.mont, mesh, axis="ici",
+                                batch_axis="dcn")
+    nat = pm.dist_ntt_to_natural(spec, out, n1, n2)
+    expected = ntt.ntt(a)
+    assert np.array_equal(np.asarray(nat), np.asarray(expected.mont))
+
+
+def test_dist_fri_fold_matches_single_chip():
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from myzkp_tpu.stark.fri import fold_codeword
+
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh(8)
+    n = 256
+    rng = random.Random(7)
+    cw = Fp.from_int(spec, [rng.randrange(P32) for _ in range(n)])
+    omega = ntt.nth_root_of_unity(P32, n)
+    offset, alpha = 5, rng.randrange(1, P32)
+    sharded = jax.device_put(cw.mont, NamedSharding(mesh, P(None, "shard")))
+    # two consecutive rounds, codeword staying sharded between them
+    got1 = pm.dist_fri_fold(spec, sharded, mesh, alpha, offset, omega)
+    exp1 = fold_codeword(spec, cw.mont, alpha, offset, omega)
+    assert np.array_equal(np.asarray(got1), np.asarray(exp1))
+    alpha2 = rng.randrange(1, P32)
+    got2 = pm.dist_fri_fold(spec, got1, mesh, alpha2,
+                            offset * offset % P32, omega * omega % P32)
+    exp2 = fold_codeword(spec, exp1, alpha2,
+                         offset * offset % P32, omega * omega % P32)
+    assert np.array_equal(np.asarray(got2), np.asarray(exp2))
+
+
+def test_dist_merkle_tree_matches_monolithic():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from myzkp_tpu.fields import limb
+    from myzkp_tpu.utils import merkle
+
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh(8)
+    n = 64
+    rng = random.Random(8)
+    vals = [rng.randrange(P32) for _ in range(n)]
+    std = limb.from_int(spec, vals)
+    sharded = jax.device_put(std, NamedSharding(mesh, P(None, "shard")))
+    dt = pm.dist_merkle_tree(spec, sharded, mesh)
+    leaves = limb.to_bytes_batch(spec, np.asarray(std))
+    mono = merkle.MerkleTree(leaves)
+    assert dt.root == mono.root
+    assert dt.n_shards == 8
+    for idx in (0, 1, 7, 8, 33, 63):
+        assert dt.open(idx) == mono.open(idx)
+        assert merkle.verify(dt.root, idx, dt.open(idx), leaves[idx])
+
+
+def test_dist_merkle_tree_host_shards():
+    from myzkp_tpu.utils.merkle import DistMerkleTree, MerkleTree, verify
+
+    rng = random.Random(9)
+    leaves = [rng.randbytes(32) for _ in range(128)]
+    for shards in (1, 4, 128):
+        dt = DistMerkleTree(leaves, shards)
+        mono = MerkleTree(leaves)
+        assert dt.root == mono.root
+        for idx in (0, 63, 127):
+            assert dt.open(idx) == mono.open(idx)
+            assert verify(dt.root, idx, dt.open(idx), leaves[idx])
+
+
+def test_dist_batch_shards_independent_instances():
+    from myzkp_tpu.fields import limb
+
+    spec = FieldSpec.make(P32)
+    mesh = pm.make_mesh(8)
+    rng = random.Random(10)
+    B, n = 8, 32
+    rows = [[rng.randrange(P32) for _ in range(n)] for _ in range(B)]
+    a = Fp.from_int(spec, rows)  # mont (L, B, n)
+    # leading-axis batch layout for dist_batch: (B, L, n)
+    batched = np.moveaxis(np.asarray(a.mont), 1, 0)
+
+    def one(x):  # x: (1, L, n) shard -> pointwise square of the instance
+        return limb.mont_mul(spec, x[0], x[0])[None]
+
+    got = pm.dist_batch(one, mesh)(batched)
+    expected = np.moveaxis(
+        np.asarray(limb.mont_mul(spec, a.mont, a.mont)), 1, 0)
+    assert np.array_equal(np.asarray(got), expected)
+
+
 def test_dist_sumcheck_fold_and_sum_match_single_chip():
     from myzkp_tpu.fields import limb
     from myzkp_tpu.protocols import sumcheck_tpu as st
