@@ -120,6 +120,99 @@ def _make_padd_kernel(spec: FieldSpec, with_select: bool,
     return kernel
 
 
+def _padd_mixed_formula(tF, b3, p, qx, qy):
+    from . import weierstrass as wst
+
+    return wst.padd_mixed(tF, b3, wst.Point(*p), qx, qy)
+
+
+def _make_padd_mixed_kernel(spec: FieldSpec, with_select: bool,
+                            interpret: bool = False):
+    tF = TileFp(spec, use_scratch=True)
+
+    def kernel(*refs):
+        if with_select:
+            (x1, y1, z1, qx, qy, h, b3), outs = refs[:7], refs[7:]
+        else:
+            (x1, y1, z1, qx, qy, b3), outs = refs[:6], refs[6:]
+        p = tuple(tF.load(r) for r in (x1, y1, z1))
+        qxv, qyv = tF.load(qx), tF.load(qy)
+        r = _padd_mixed_formula(tF, tF.load(b3), p, qxv, qyv)
+        if with_select:
+            mask = h[0] > 0
+            q = (qxv, qyv, tF.one_like(qxv))
+            r = tuple(tF.select(mask, qi, ri) for qi, ri in zip(q, r))
+        for ref, val in zip(outs, r):
+            tF.store(ref, val)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def padd_mixed_fused(spec: FieldSpec, x1, y1, z1, qx, qy, b3c,
+                     interpret: bool = False):
+    out = _tiled_call(spec, _make_padd_mixed_kernel(spec, False, interpret),
+                      [x1, y1, z1, qx, qy], [b3c], 3, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def padd_mixed_sel_fused(spec: FieldSpec, x1, y1, z1, qx, qy, h, b3c,
+                         interpret: bool = False):
+    """select(h, (qx,qy,1), P+Q) in one launch — the mixed MSM scan body."""
+    hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], x1.shape)
+    out = _tiled_call(spec, _make_padd_mixed_kernel(spec, True, interpret),
+                      [x1, y1, z1, qx, qy, hm], [b3c], 3, interpret)
+    return tuple(out)
+
+
+def _make_padd_mixed2_kernel(spec: FieldSpec, with_select: bool,
+                             interpret: bool = False):
+    tF = TileFq2(spec, use_scratch=True)
+
+    def kernel(*refs):
+        ncoord = 10  # 3 projective + 2 affine coords x 2 components
+        coords = refs[:ncoord]
+        if with_select:
+            h = refs[ncoord]
+            b3r = refs[ncoord + 1 : ncoord + 3]
+            outs = refs[ncoord + 3 :]
+        else:
+            b3r = refs[ncoord : ncoord + 2]
+            outs = refs[ncoord + 2 :]
+        elems = [tF.load(coords[2 * i], coords[2 * i + 1]) for i in range(5)]
+        p, qxv, qyv = tuple(elems[:3]), elems[3], elems[4]
+        r = _padd_mixed_formula(tF, tF.load(*b3r), p, qxv, qyv)
+        if with_select:
+            mask = h[0] > 0
+            one = (tF.base.one_like(qxv[0]), tF.base.zero_like(qxv[0]))
+            q = (qxv, qyv, one)
+            r = tuple(tF.select(mask, qi, ri) for qi, ri in zip(q, r))
+        flat = [c for e in r for c in e]
+        for ref, val in zip(outs, flat):
+            tF.base.store(ref, val)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def padd_mixed2_sel_fused(spec: FieldSpec, coords, h, b3c,
+                          interpret: bool = False):
+    """coords: 10 limb arrays (x1_0, x1_1, y1_0, y1_1, z1_0, z1_1,
+    qx_0, qx_1, qy_0, qy_1)."""
+    hm = jnp.broadcast_to(h.astype(jnp.uint32)[None], coords[0].shape)
+    out = _tiled_call(spec, _make_padd_mixed2_kernel(spec, True, interpret),
+                      list(coords) + [hm], list(b3c), 6, interpret)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def padd_mixed2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
+    out = _tiled_call(spec, _make_padd_mixed2_kernel(spec, False, interpret),
+                      list(coords), list(b3c), 6, interpret)
+    return tuple(out)
+
+
 def _make_pdbl_kernel(spec: FieldSpec, interpret: bool = False):
     tF = TileFp(spec, use_scratch=True)
 
@@ -294,6 +387,39 @@ def try_padd(F, b3, p, q, h=None):
             out = padd2_sel_fused(F.spec, tuple(coords), hb, b3v)
         else:
             out = padd2_fused(F.spec, tuple(coords), b3v)
+        return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
+    return None
+
+
+def try_padd_mixed(F, b3, p, qx, qy, h=None):
+    """Fused mixed add (optionally with select(h, (qx,qy,1), .)); None = no
+    fused route (non-TPU, or F is a tile-level ops object inside a kernel)."""
+    from .field_ops import Fq2Ops, FpOps
+
+    if not enabled():
+        return None
+    from . import weierstrass as wst
+
+    if isinstance(F, FpOps):
+        coords, bshape = _common(F, [p.x, p.y, p.z, qx, qy])
+        if coords is None:
+            return None
+        if h is not None:
+            hb = jnp.broadcast_to(h, bshape)
+            return wst.Point(*padd_mixed_sel_fused(
+                F.spec, *coords, hb, _b3_vec(F, b3)))
+        return wst.Point(*padd_mixed_fused(F.spec, *coords, _b3_vec(F, b3)))
+    if isinstance(F, Fq2Ops):
+        flat = [c for e in (p.x, p.y, p.z, qx, qy) for c in e]
+        coords, bshape = _common(F, flat)
+        if coords is None:
+            return None
+        b3v = _b3_vec(F, b3)
+        if h is not None:
+            hb = jnp.broadcast_to(h, bshape)
+            out = padd_mixed2_sel_fused(F.spec, tuple(coords), hb, b3v)
+        else:
+            out = padd_mixed2_fused(F.spec, tuple(coords), b3v)
         return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
     return None
 

@@ -124,12 +124,22 @@ def _bucket_sum_cost(c: int) -> int:
     return 2 * (1 << c) + _bucket_sum_cost(c - k) + _bucket_sum_cost(k) + k
 
 
-def default_window(n: int, signed: bool = True) -> int:
-    """Bucket window size minimizing modeled EC-add work.
+# Measured cost ratios on a v5e chip (docs/speed_of_light.md): one
+# sort+gather index-pair costs ~4.5x a full-width fused EC add, and the
+# weighted-bucket-sum adds run at narrow batch widths (~4x a wide add).
+_SORT_GATHER_W = 4.5
+_NARROW_W = 4.0
 
-    Per window: n adds in the bucket scan, ~2 * 2^c adds in the hierarchical
-    weighted-bucket sum (over 2^(c-1) buckets in signed-digit form), ~c
-    serial ops in the Horner tail; W(c) = ceil(256/c) windows total.
+
+def default_window(n: int, signed: bool = True) -> int:
+    """Bucket window size minimizing modeled work in wide-EC-add units.
+
+    Per window: n * (1 + _SORT_GATHER_W) for the sort, the gather and the
+    bucket scan, ~2 * 2^c narrow adds in the hierarchical weighted-bucket
+    sum (over 2^(c-1) buckets in signed-digit form), ~c serial ops in the
+    Horner tail; W(c) = ceil(256/c) windows total.  Data movement (the sort
+    and gather at ~22 ns/index) dominates on TPU, which pushes the optimum
+    toward larger windows than an EC-only model would pick.
     """
     best_c, best_cost = 4, None
     for c in range(4, 20):
@@ -138,7 +148,7 @@ def default_window(n: int, signed: bool = True) -> int:
             bsum = _bucket_sum_cost(c - 1) + (c - 1) + 1
         else:
             bsum = _bucket_sum_cost(c)
-        cost = W * (n + bsum + 24 * c)
+        cost = W * (n * (1 + _SORT_GATHER_W) + _NARROW_W * bsum + 24 * c)
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c
@@ -152,15 +162,17 @@ def _gather_point(pt: Point, idx) -> Point:
     return _point_map(lambda a: jnp.take(a, idx, axis=1), pt)
 
 
-def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
+def _bucket_accumulate(F, b3, qx, qy, d_sorted, num_buckets: int,
                        K: int) -> Point:
     """Bucket sums for G windows at once.
 
-    pts_sorted: (G, n) point batch, each window row in digit-sorted order;
-    d_sorted: (G, n) int32.  Returns bucket batch (G, num_buckets) (bucket 0 =
-    garbage/unused).  Batching the window axis through the K-step scan keeps
-    every complete-add wide enough to saturate the VPU / hit the Pallas
-    mont_mul tile, instead of scanning windows one by one.
+    qx, qy: (G, n) AFFINE point coordinate batches (field pytrees), each
+    window row in digit-sorted order; d_sorted: (G, n) int32.  Returns
+    bucket batch (G, num_buckets) (bucket 0 = garbage/unused).  Batching the
+    window axis through the K-step scan keeps every complete-add wide enough
+    to saturate the VPU / hit the Pallas mont_mul tile, instead of scanning
+    windows one by one; affine inputs make each scan step a fused complete
+    MIXED add (13 muls vs 14, weierstrass.padd_mixed).
     """
     G, n = d_sorted.shape
     assert n % K == 0
@@ -180,9 +192,12 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
     )
 
     # xs for the scan: step-major
-    pts_seq = _point_map(
-        lambda a: jnp.moveaxis(a.reshape(a.shape[0], G, B, K), 3, 0), pts_sorted
-    )  # leaves (K, L, G, B)
+    def step_major(e):
+        return _point_map(
+            lambda a: jnp.moveaxis(a.reshape(a.shape[0], G, B, K), 3, 0), e
+        )  # leaves (K, L, G, B)
+
+    qx_seq, qy_seq = step_major(qx), step_major(qy)
     head_seq = jnp.moveaxis(head, 2, 0)  # (K, G, B)
     prev_seq = jnp.moveaxis(prev, 2, 0)  # (K, G, B)
     step_idx = jnp.arange(K)
@@ -190,15 +205,15 @@ def _bucket_accumulate(F, b3, pts_sorted: Point, d_sorted, num_buckets: int,
     acc0 = wst.infinity(F, (G, B))
 
     def body(acc, xs):
-        e, h, pd, t = xs
+        ex, ey, h, pd, t = xs
         flush = h & (t > 0)
         tgt = dummy_tgt(pd, flush)
         out = (acc, tgt)  # finished partial (if any) + its bucket index
-        acc = wst.padd_sel(F, b3, acc, Point(*e), h)
+        acc = wst.padd_mixed_sel(F, b3, acc, ex, ey, h)
         return acc, out
 
     acc, (flush_pts, flush_tgt) = jax.lax.scan(
-        body, acc0, (pts_seq, head_seq, prev_seq, step_idx)
+        body, acc0, (qx_seq, qy_seq, head_seq, prev_seq, step_idx)
     )
     # One scatter for all mid-segment flushes.  Real targets are unique per
     # window over the whole scan (a digit segment ends strictly inside at
@@ -298,6 +313,10 @@ def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
     return jax.lax.fori_loop(0, c, body, wst.infinity(F, (G,)))
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
 def _group_size(n_pad: int, W: int, slots: int = 0) -> int:
     """Windows per bucket-accumulation pass: cap gathered-copy memory at
     ~2^21 gathered elements (leaves are (L, G, n_pad) uint32), and bucket
@@ -312,23 +331,37 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     """sum_i [s_i] P_i. points: (n,) batch; s_limbs: uint32 (L, n) standard
     domain. Returns a single (unbatched) projective point.
 
-    All W = ceil(256/c) windows are processed in groups of G: one digit-sort
-    per window (XLA sort), then a single K-step scan accumulates buckets for
+    All W = ceil(256/c) windows are processed in groups of G: one
+    key-value sort per window (XLA sort_key_val: digit magnitude -> packed
+    (index << 1 | sign)), then a single K-step scan accumulates buckets for
     the whole group at VPU-saturating batch width (G * n/K lanes).  With
     ``signed`` (default) digits are rewritten to [-2^(c-1), 2^(c-1)]:
     points whose digit is negative enter the scan negated, halving the
-    bucket count and the weighted-bucket-sum work."""
+    bucket count and the weighted-bucket-sum work.
+
+    Data-movement design (the measured bottleneck is ~22 ns per
+    gather/sort index on a v5e chip, not EC math): inputs are normalized to
+    AFFINE once (one batch inversion), all affine coordinate planes are
+    stacked into ONE array so each window group issues a single gather, the
+    negation bit rides inside the sort value (no second gather), and the
+    scan uses the fused complete mixed-add kernel (z = 1 implicit)."""
     n = s_limbs.shape[1]
     if c is None:
         c = default_window(n, signed)
     if c < 2:
         signed = False
+    half = (1 << (c - 1)) if signed else None
+    num_buckets = (half + 1) if signed else (1 << c)
+    W = -(-16 * s_limbs.shape[0] // c)
+    if G is None:
+        G = _group_size(n, W, num_buckets + 1)
+    G = min(G, W)
     if K is None:
-        # few, wide scan steps: per-step batch is G * n/K lanes, so small K
-        # amortizes launch overhead; extra lane-merge work is B log B adds,
-        # cheap relative to the n-adds scan for K >= 16.
-        shift = max(0, int(math.ceil(math.log2(max(n, 1)) / 2)) - 2)
-        K = int(min(n, max(8, 1 << shift)))
+        # few, wide scan steps: per-step batch is G * n/K lanes; target
+        # ~2^15 lanes (where the fused-add kernel saturates, see
+        # docs/speed_of_light.md) — smaller K costs B log B lane-merge adds,
+        # larger K leaves the per-step batch too narrow.
+        K = int(min(n, max(8, _next_pow2(G * n // (1 << 15)))))
     # pad n to a multiple of K with digit-0 (bucket 0 is dropped)
     n_pad = ((n + K - 1) // K) * K
     if n_pad != n:
@@ -341,36 +374,44 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         )
         s_limbs = jnp.pad(s_limbs, ((0, 0), (0, pad)))
 
+    # one-time affine normalization; infinity inputs -> (0, 0) with their
+    # digits forced to 0 below (bucket 0 is dropped, so they never count)
+    ax, ay, inf = wst.to_affine(F, points, axis=0)
+    xy_leaves, xy_def = jax.tree_util.tree_flatten((ax, ay))
+    stacked = jnp.concatenate(xy_leaves, axis=0)  # (C, n_pad): ONE gather
+
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
+    digits = jnp.where(inf[None], 0, digits)
     if signed:
         digits, dneg = signed_digits(digits, c)
-        half = 1 << (c - 1)
     else:
         dneg = jnp.zeros(digits.shape, bool)
-        half = None
-    num_buckets = (half + 1) if signed else (1 << c)
     W = digits.shape[0]
-    if G is None:
-        G = _group_size(n_pad, W, num_buckets + 1)
     W_pad = ((W + G - 1) // G) * G
     if W_pad != W:
         # zero-digit filler windows: their sum is infinity, and they sit at
         # the MSB end of the Horner combine where doubling infinity is a no-op
         digits = jnp.pad(digits, ((0, W_pad - W), (0, 0)))
         dneg = jnp.pad(dneg, ((0, W_pad - W), (0, 0)))
-    perms = jnp.argsort(digits, axis=1)  # (W_pad, n_pad)
-    d_sorted = jnp.take_along_axis(digits, perms, axis=1)
-    n_sorted = jnp.take_along_axis(dneg, perms, axis=1)
+    # pack (point index, sign) into the sort value: one sort, no extra gather
+    iota = jnp.arange(n_pad, dtype=jnp.int32)
+    vals = jnp.broadcast_to(iota[None] << 1, digits.shape) | dneg.astype(
+        jnp.int32)
+    d_sorted, v_sorted = jax.lax.sort_key_val(digits, vals, dimension=1)
+
+    nleaves = len(xy_leaves)
 
     def group_body(carry, xs):
-        perm, dsort, nsort = xs  # (G, n_pad)
-        pts = _point_map(
-            lambda a: jnp.take(a, perm.reshape(-1), axis=1).reshape(
-                a.shape[0], G, n_pad),
-            points)
+        dsort, vsort = xs  # (G, n_pad)
+        perm = vsort >> 1
+        g = jnp.take(stacked, perm.reshape(-1), axis=1, mode="clip").reshape(
+            stacked.shape[0], G, n_pad)
+        qx, qy = jax.tree_util.tree_unflatten(
+            xy_def, jnp.split(g, nleaves, axis=0))
         if signed:
-            pts = wst.pselect(F, nsort, wst.pneg(F, pts), pts)
-        buckets = _bucket_accumulate(F, b3, pts, dsort, num_buckets, K)
+            nsort = (vsort & 1) > 0
+            qy = F.select(nsort, F.neg(qy), qy)
+        buckets = _bucket_accumulate(F, b3, qx, qy, dsort, num_buckets, K)
         if signed:
             # magnitudes span [0, half]; the power-of-two-sized weighted sum
             # covers [1, half-1] and the top bucket contributes half * B_half
@@ -386,9 +427,8 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
 
     _, group_sums = jax.lax.scan(
         group_body, 0,
-        (perms.reshape(W_pad // G, G, n_pad),
-         d_sorted.reshape(W_pad // G, G, n_pad),
-         n_sorted.reshape(W_pad // G, G, n_pad)))
+        (d_sorted.reshape(W_pad // G, G, n_pad),
+         v_sorted.reshape(W_pad // G, G, n_pad)))
     # group_sums leaves: (W_pad//G, L, G) — flatten to window-major (W_pad, L)
     window_sums = _point_map(
         lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]),

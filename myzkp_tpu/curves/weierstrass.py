@@ -94,6 +94,56 @@ def padd_sel(F, b3, p: Point, q: Point, keep_q) -> Point:
     return pselect(F, keep_q, q, padd(F, b3, p, q))
 
 
+def padd_mixed(F, b3, p: Point, qx, qy) -> Point:
+    """Complete MIXED addition P + (qx, qy, 1), a=0 (RCB16 Algorithm 8).
+
+    Specializes padd's Z2 = 1: t2 = Z1 for free, and the two pair-products
+    involving Z2 collapse to Z1*qy + Y1 and Z1*qx + X1 — 13 field muls
+    instead of 14 plus fewer adds.  The MSM bucket scan uses this with
+    pre-normalized affine inputs (one batch inversion up front), which also
+    halves the per-window point-gather volume (x, y only — z is implicit).
+    Q must not be the point at infinity (affine form can't express it);
+    callers route infinity inputs to digit 0 whose bucket is dropped.
+    """
+    from . import curve_pallas
+
+    fused = curve_pallas.try_padd_mixed(F, b3, p, qx, qy)
+    if fused is not None:
+        return fused
+    X1, Y1, Z1 = p
+    t0 = F.mul(X1, qx)
+    t1 = F.mul(Y1, qy)
+    t3 = F.mul(F.add(X1, Y1), F.add(qx, qy))
+    t3 = F.sub(t3, F.add(t0, t1))
+    t4 = F.add(F.mul(Z1, qy), Y1)
+    Y3 = F.add(F.mul(Z1, qx), X1)
+    X3 = F.add(t0, t0)
+    t0 = F.add(X3, t0)
+    t2 = F.mul(b3, Z1)
+    Z3 = F.add(t1, t2)
+    t1 = F.sub(t1, t2)
+    Y3 = F.mul(b3, Y3)
+    X3 = F.mul(t4, Y3)
+    X3 = F.sub(F.mul(t3, t1), X3)
+    Y3 = F.mul(Y3, t0)
+    Y3 = F.add(F.mul(t1, Z3), Y3)
+    t0 = F.mul(t0, t3)
+    Z3 = F.add(F.mul(Z3, t4), t0)
+    return Point(X3, Y3, Z3)
+
+
+def padd_mixed_sel(F, b3, p: Point, qx, qy, keep_q) -> Point:
+    """select(keep_q, (qx, qy, 1), P + Q) — the mixed MSM bucket-scan body,
+    fused into one kernel launch on TPU."""
+    from . import curve_pallas
+
+    fused = curve_pallas.try_padd_mixed(F, b3, p, qx, qy, h=keep_q)
+    if fused is not None:
+        return fused
+    q = Point(qx, qy, F.one(F.batch_shape(qx)))
+    return pselect(F, keep_q, q, padd_mixed(F, b3, p, qx, qy))
+
+
 def pdbl(F, b3, p: Point) -> Point:
     """Complete doubling, a=0 (RCB16 Algorithm 9)."""
     from . import curve_pallas

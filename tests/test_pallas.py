@@ -83,6 +83,92 @@ def test_fused_padd_pdbl_matches_golden():
         assert np.array_equal(np.asarray(g_), np.asarray(r_))
 
 
+def test_padd_mixed_formula_complete():
+    """The mixed formula (RCB16 Alg 8) agrees with the full complete add on
+    generic and edge inputs — pure-JAX paths, no Pallas interpret cost."""
+    from myzkp_tpu.curves import bn254, weierstrass as wst
+
+    rng = random.Random(19)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    g = bn254.g1_generator()
+    n = 8
+    pts_p = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    pts_q = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    qx, qy, _ = wst.to_affine(F, pts_q, axis=0)
+    qproj = wst.Point(qx, qy, F.one((n,)))
+    got = wst.padd_mixed(F, b3, pts_p, qx, qy)
+    ref = wst.padd(F, b3, pts_p, qproj)
+    assert bool(np.all(np.asarray(wst.peq(F, b3, got, ref))))
+    # edge cases of completeness: P = inf, P = Q (doubling), P = -Q (inf out)
+    inf = wst.infinity(F, (n,))
+    got_inf = wst.padd_mixed(F, b3, inf, qx, qy)
+    assert bool(np.all(np.asarray(wst.peq(F, b3, got_inf, qproj))))
+    got_dbl = wst.padd_mixed(F, b3, qproj, qx, qy)
+    refd = wst.pdbl(F, b3, qproj)
+    assert bool(np.all(np.asarray(wst.peq(F, b3, got_dbl, refd))))
+    negq = wst.pneg(F, qproj)
+    got_zero = wst.padd_mixed(F, b3, negq, qx, qy)
+    assert bool(np.all(np.asarray(wst.is_infinity(F, got_zero))))
+
+
+def test_fused_padd_mixed_matches_golden():
+    """Fused kernel (interpret mode) is bit-identical to the pure-JAX
+    padd_mixed path — they trace the same formula (single source of truth)."""
+    import jax.numpy as jnp
+
+    from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
+
+    rng = random.Random(19)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    g = bn254.g1_generator()
+    n = 16
+    pts_p = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    pts_q = bn254.g1_points_to_device([g * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    spec = bn254.q_spec()
+    b3v = curve_pallas._b3_vec(F, b3)
+    qx, qy, _ = wst.to_affine(F, pts_q, axis=0)
+    h = jnp.asarray(np.array([i % 2 for i in range(n)], dtype=bool))
+    gots = curve_pallas.padd_mixed_sel_fused(
+        spec, pts_p.x, pts_p.y, pts_p.z, qx, qy, h, b3v, interpret=True)
+    qproj = wst.Point(qx, qy, F.one((n,)))
+    refs = wst.pselect(F, h, qproj, wst.padd_mixed(F, b3, pts_p, qx, qy))
+    for g_, r_ in zip(gots, refs):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+
+def test_fused_padd_mixed_g2_matches_golden():
+    import jax.numpy as jnp
+
+    from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
+
+    rng = random.Random(23)
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+    g2 = bn254.g2_generator()
+    n = 8
+    pts_p = bn254.g2_points_to_device([g2 * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    pts_q = bn254.g2_points_to_device([g2 * rng.randrange(1, bn254.R)
+                                       for _ in range(n)])
+    spec = bn254.q_spec()
+    b3v = curve_pallas._b3_vec(F2, b32)
+    qx, qy, _ = wst.to_affine(F2, pts_q, axis=0)
+    coords = tuple([c for e in (pts_p.x, pts_p.y, pts_p.z, qx, qy)
+                    for c in e])
+    h = jnp.asarray(np.array([i % 2 for i in range(n)], dtype=bool))
+    outs = curve_pallas.padd_mixed2_sel_fused(spec, coords, h, b3v,
+                                              interpret=True)
+    qproj = wst.Point(qx, qy, F2.one((n,)))
+    refs = wst.pselect(F2, h, qproj,
+                       wst.padd_mixed(F2, b32, pts_p, qx, qy))
+    ref_flat = [c for e in refs for c in e]
+    for g_, r_ in zip(outs, ref_flat):
+        assert np.array_equal(np.asarray(g_), np.asarray(r_))
+
+
 def test_fused_padd_g2_matches_golden():
     from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
 
