@@ -124,10 +124,12 @@ def _bucket_sum_cost(c: int) -> int:
     return 2 * (1 << c) + _bucket_sum_cost(c - k) + _bucket_sum_cost(k) + k
 
 
-# Measured cost ratios on a v5e chip (docs/speed_of_light.md): one
-# sort+gather index-pair costs ~4.5x a full-width fused EC add, and the
-# weighted-bucket-sum adds run at narrow batch widths (~4x a wide add).
-_SORT_GATHER_W = 4.5
+# Measured cost ratios on a v5e chip (docs/speed_of_light.md, chain-diff
+# methodology): one batched-sort index costs ~3.1 ns and one row-gather
+# ~11.5 ns, vs ~9 ns per full-width fused EC add -> sort+gather ~1.6 add
+# units per (window, point); the weighted-bucket-sum adds run at narrow
+# batch widths (~4x a wide add).
+_SORT_GATHER_W = 1.6
 _NARROW_W = 4.0
 
 
@@ -339,12 +341,16 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     points whose digit is negative enter the scan negated, halving the
     bucket count and the weighted-bucket-sum work.
 
-    Data-movement design (the measured bottleneck is ~22 ns per
-    gather/sort index on a v5e chip, not EC math): inputs are normalized to
-    AFFINE once (one batch inversion), all affine coordinate planes are
-    stacked into ONE array so each window group issues a single gather, the
-    negation bit rides inside the sort value (no second gather), and the
-    scan uses the fused complete mixed-add kernel (z = 1 implicit)."""
+    Data-movement design (the measured bottleneck is the per-window point
+    gather, not EC math): inputs are normalized to AFFINE once (one batch
+    inversion) and laid out ROW-MAJOR — one (n, 64*k) uint32 row per point
+    holding all coordinate limbs — because XLA:TPU gathers whole rows at a
+    fixed ~11.5 ns/row regardless of row width, while gathering along the
+    lane axis of a plane-major (C, n) array is ~3.3x slower (measured on
+    v5e, docs/speed_of_light.md).  Each window group issues a single
+    row-gather + one transpose back to limb-major, the negation bit rides
+    inside the sort value (no second gather), and the scan uses the fused
+    complete mixed-add kernel (z = 1 implicit)."""
     n = s_limbs.shape[1]
     if c is None:
         c = default_window(n, signed)
@@ -378,7 +384,12 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     # digits forced to 0 below (bucket 0 is dropped, so they never count)
     ax, ay, inf = wst.to_affine(F, points, axis=0)
     xy_leaves, xy_def = jax.tree_util.tree_flatten((ax, ay))
-    stacked = jnp.concatenate(xy_leaves, axis=0)  # (C, n_pad): ONE gather
+    C = len(xy_leaves) * xy_leaves[0].shape[0]
+    lanes = -(-C // 64) * 64  # row width padded to a 64-lane multiple
+    # ROW-MAJOR point table: one uint32 row per point (see docstring)
+    rows = jnp.concatenate(xy_leaves, axis=0).T  # (n_pad, C)
+    if lanes != C:
+        rows = jnp.pad(rows, ((0, 0), (0, lanes - C)))
 
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
     digits = jnp.where(inf[None], 0, digits)
@@ -404,8 +415,9 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     def group_body(carry, xs):
         dsort, vsort = xs  # (G, n_pad)
         perm = vsort >> 1
-        g = jnp.take(stacked, perm.reshape(-1), axis=1, mode="clip").reshape(
-            stacked.shape[0], G, n_pad)
+        g_rows = jnp.take(rows, perm.reshape(-1), axis=0, mode="clip")
+        # back to limb-major planes: one XLA relayout of the gathered copy
+        g = g_rows[:, :C].T.reshape(C, G, n_pad)
         qx, qy = jax.tree_util.tree_unflatten(
             xy_def, jnp.split(g, nleaves, axis=0))
         if signed:

@@ -101,7 +101,6 @@ BN254_Q = 2188824287183927522224640574525727508869631115729782366268903789464522
 M128 = 270497897142230380135924736767050121217
 
 # Goldilocks p = 2^64 - 2^32 + 1. reference: myzkp/src/modules/zkstark/fri.rs:409
-M64 = 18446744073709551617 - 4294967296 + 0  # placeholder; fixed below
 M64 = (1 << 64) - (1 << 32) + 1
 
 # Tiny teaching primes used by the reference's unit tests

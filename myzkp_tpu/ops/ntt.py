@@ -270,21 +270,6 @@ def intt(a: Fp) -> Fp:
     return Fp(a.spec, _scale_by_n_inv(a.spec, out))
 
 
-def ntt_br(a: Fp) -> Fp:
-    """Forward NTT for pointwise pipelines.
-
-    Historical name (the pre-Stockham core emitted bit-reversed order); the
-    autosorting core makes this identical to ``ntt``.  Kept as the pipeline
-    entry point so callers stay order-agnostic.
-    """
-    return ntt(a)
-
-
-def intt_br(a: Fp) -> Fp:
-    """Inverse of ``ntt_br`` (see there); identical to ``intt``."""
-    return intt(a)
-
-
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 

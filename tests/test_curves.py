@@ -197,6 +197,93 @@ def test_msm_pippenger_g2():
     assert got == exp
 
 
+# ---------------------------------------------------------------------------
+# MSM: production-shape coverage off-TPU (VERDICT r1 item 4)
+#
+# The correctness-critical sort + scan + masked-scatter bucket machinery
+# (msm.py:_bucket_accumulate) only reaches production shapes (K > 8, window
+# grouping, n_pad/W_pad padding) at n >= 512.  Expected values cost O(1)
+# host EC work: points are generated ON DEVICE as P_i = [m_i]G for known
+# m_i, so  sum_i k_i P_i = [sum_i k_i m_i mod r] G  — one host scalar mul.
+# ---------------------------------------------------------------------------
+
+def _known_multiple_points(n, seed, g2=False):
+    rng = random.Random(seed)
+    ms = [rng.randrange(1, bn254.R) for _ in range(n)]
+    if g2:
+        F, b3 = bn254.g2_ops(), bn254.g2_b3(())
+        base = bn254.g2_points_to_device([bn254.g2_generator()] * n)
+    else:
+        F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+        base = bn254.g1_points_to_device([bn254.g1_generator()] * n)
+    bits = msm.scalar_bits(msm.scalars_from_int(bn254.r_spec(), ms))
+    return ms, wst.scalar_mul_bits(F, b3, base, bits)
+
+
+@pytest.mark.parametrize("n,c,K,G", [
+    (512, None, None, None),   # auto cost model end-to-end
+    pytest.param(512, 8, 8, 2, marks=pytest.mark.slow),   # small K + grouping
+    pytest.param(509, 8, 64, None, marks=pytest.mark.slow),  # odd n: n_pad pad
+    pytest.param(512, 13, None, 3, marks=pytest.mark.slow),  # W_pad % G != 0
+])
+def test_msm_pippenger_midsize(n, c, K, G):
+    ms, pts = _known_multiple_points(n, seed=n + (c or 0))
+    rng = random.Random(1000 + n + (K or 0))
+    ks = [rng.randrange(0, bn254.R) for _ in range(n)]
+    # mix in edge scalars: zeros and duplicates
+    ks[0] = 0
+    ks[1] = ks[2] = 5
+    exp = bn254.g1_generator() * (
+        sum(k * m for k, m in zip(ks, ms)) % bn254.R)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    got = _to_host_single(msm.msm_pippenger(F, b3, pts, sl, c=c, K=K, G=G))
+    assert got == exp
+
+
+@pytest.mark.slow
+def test_msm_pippenger_midsize_equal_scalars():
+    """All-equal scalars: every window's points land in ONE bucket, the
+    worst case for the scatter-uniqueness argument in _bucket_accumulate."""
+    n = 512
+    ms, pts = _known_multiple_points(n, seed=77)
+    k = 1234567891234567891
+    exp = bn254.g1_generator() * (k * sum(ms) % bn254.R)
+    sl = msm.scalars_from_int(bn254.r_spec(), [k] * n)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    got = _to_host_single(msm.msm_pippenger(F, b3, pts, sl, c=8, K=16))
+    assert got == exp
+
+
+@pytest.mark.slow
+def test_msm_pippenger_midsize_4096_auto():
+    n = 4096
+    ms, pts = _known_multiple_points(n, seed=4096)
+    rng = random.Random(9)
+    ks = [rng.randrange(0, bn254.R) for _ in range(n)]
+    exp = bn254.g1_generator() * (
+        sum(k * m for k, m in zip(ks, ms)) % bn254.R)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    got = _to_host_single(msm.msm_pippenger(F, b3, pts, sl))
+    assert got == exp
+
+
+@pytest.mark.slow
+def test_msm_pippenger_midsize_g2():
+    n = 512
+    ms, pts = _known_multiple_points(n, seed=512, g2=True)
+    rng = random.Random(11)
+    ks = [rng.randrange(0, bn254.R) for _ in range(n)]
+    exp = bn254.g2_generator() * (
+        sum(k * m for k, m in zip(ks, ms)) % bn254.R)
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    F2, b3 = bn254.g2_ops(), bn254.g2_b3(())
+    got = bn254.g2_points_to_host(jax.tree_util.tree_map(
+        lambda a: a[:, None], msm.msm_pippenger(F2, b3, pts, sl, c=8)))[0]
+    assert got == exp
+
+
 def test_msm_resumable_checkpoint(tmp_path, msm_instance):
     """Chunked MSM with a simulated crash: partial run, then resume."""
     from myzkp_tpu.utils import checkpoint as ckpt

@@ -40,6 +40,41 @@ def test_fiat_shamir_roundtrip_and_prefix():
     assert fs2.verifier_fiat_shamir(32) == fs3.prover_fiat_shamir(32)
 
 
+def test_fiat_shamir_wire_format_pinned():
+    """Regression-pin the bincode-1.3.3 byte layout of the transcript.
+
+    The reference serializes ``Vec<Vec<Vec<u8>>>`` with bincode's legacy
+    fixed-int config — a u64 little-endian length prefix at every nesting
+    level (fiat_shamir.rs:37-48, Cargo.toml bincode = "1.3.3") — and draws
+    challenges as SHAKE256 over those bytes (fiat_shamir.rs:50-69).  The
+    hex digests below were computed once from that layout built inline
+    with struct.pack (independently of FiatShamirTransformer._ser); if the
+    transcript encoding ever drifts, these fail.
+    """
+    fs = FiatShamirTransformer()
+    assert fs.prover_fiat_shamir(32).hex() == (
+        "119141dce89807096095d9729b0da80481a492498e235346efc58aa73335a351")
+
+    fs.push([b"\x01\x02\x03"])
+    assert fs.serialize() == (
+        b"\x01\x00\x00\x00\x00\x00\x00\x00"      # 1 object
+        b"\x01\x00\x00\x00\x00\x00\x00\x00"      # of 1 part
+        b"\x03\x00\x00\x00\x00\x00\x00\x00"      # of 3 bytes
+        b"\x01\x02\x03")
+    assert fs.prover_fiat_shamir(32).hex() == (
+        "6f96e59344ddc6ddce0a00368b676be7bdd244a54a575ab13dbb8265d4dc90c8")
+
+    fs2 = FiatShamirTransformer()
+    fs2.push([b"merkle-root-0" * 2, b"\x00" * 32])
+    fs2.push([b"", b"\xff\x10"])
+    fs2.push([b"challenge"])
+    assert fs2.prover_fiat_shamir(32).hex() == (
+        "d435b75e8dc93a99a3e41caada3b9a10be9ee188e1100fa780f58414a188139d")
+    fs2.pull()  # verifier has read one object: prefix challenge
+    assert fs2.verifier_fiat_shamir(16).hex() == (
+        "d90d58bbbd2c881a6e123616cf41440b")
+
+
 def test_m128_root_vector():
     """fri.rs:408,423-447: p = 1 + 407*2^119, 2^119-th root."""
     assert M128 == 1 + 407 * (1 << 119)
