@@ -98,6 +98,7 @@ def _pdbl_formula(tF, b3, p):
     return wst.pdbl(tF, b3, wst.Point(*p))
 
 
+@functools.lru_cache(maxsize=None)
 def _make_padd_kernel(spec: FieldSpec, with_select: bool,
                       interpret: bool = False):
     tF = TileFp(spec, use_scratch=True)
@@ -126,6 +127,7 @@ def _padd_mixed_formula(tF, b3, p, qx, qy):
     return wst.padd_mixed(tF, b3, wst.Point(*p), qx, qy)
 
 
+@functools.lru_cache(maxsize=None)
 def _make_padd_mixed_kernel(spec: FieldSpec, with_select: bool,
                             interpret: bool = False):
     tF = TileFp(spec, use_scratch=True)
@@ -166,6 +168,7 @@ def padd_mixed_sel_fused(spec: FieldSpec, x1, y1, z1, qx, qy, h, b3c,
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=None)
 def _make_padd_mixed2_kernel(spec: FieldSpec, with_select: bool,
                              interpret: bool = False):
     tF = TileFq2(spec, use_scratch=True)
@@ -213,6 +216,7 @@ def padd_mixed2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=None)
 def _make_pdbl_kernel(spec: FieldSpec, interpret: bool = False):
     tF = TileFp(spec, use_scratch=True)
 
@@ -254,6 +258,7 @@ def pdbl_fused(spec: FieldSpec, x, y, z, b3c, interpret: bool = False):
 # G2 (Fq2 coordinates: each coord is a (c0, c1) pair of limb arrays)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
 def _make_padd2_kernel(spec: FieldSpec, with_select: bool,
                        interpret: bool = False):
     tF = TileFq2(spec, use_scratch=True)
@@ -282,6 +287,7 @@ def _make_padd2_kernel(spec: FieldSpec, with_select: bool,
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
 def _make_pdbl2_kernel(spec: FieldSpec, interpret: bool = False):
     tF = TileFq2(spec, use_scratch=True)
 

@@ -127,10 +127,10 @@ def _bucket_sum_cost(c: int) -> int:
 # Measured cost ratios on a v5e chip (docs/speed_of_light.md, chain-diff
 # methodology): one batched-sort index costs ~3.1 ns and one row-gather
 # ~11.5 ns, vs ~9 ns per full-width fused EC add -> sort+gather ~1.6 add
-# units per (window, point); the weighted-bucket-sum adds run at narrow
-# batch widths (~4x a wide add).
+# units per (window, point).  The weighted bucket sum is batched across
+# ALL windows in one pass, so its halving adds run near wide-add rate.
 _SORT_GATHER_W = 1.6
-_NARROW_W = 4.0
+_NARROW_W = 1.0
 
 
 def default_window(n: int, signed: bool = True) -> int:
@@ -164,17 +164,44 @@ def _gather_point(pt: Point, idx) -> Point:
     return _point_map(lambda a: jnp.take(a, idx, axis=1), pt)
 
 
-def _bucket_accumulate(F, b3, qx, qy, d_sorted, num_buckets: int,
+def _rows_of_point(pt: Point, lanes: int | None = None):
+    """Point batch with leaves (L, N) -> row-major (N, lanes) uint32 table
+    (one row per point, all coordinate limbs side by side, padded to a
+    64-lane multiple).  Returns (rows, treedef, C).  XLA:TPU gathers and
+    scatters whole rows at a fixed per-row cost, while moving data along
+    the lane axis of a plane-major array is ~3x slower (measured,
+    docs/speed_of_light.md) — so every bucket-table access goes through
+    this layout."""
+    leaves, treedef = jax.tree_util.tree_flatten(pt)
+    rows = jnp.concatenate(leaves, axis=0).T  # (N, C)
+    C = rows.shape[1]
+    lanes = lanes or -(-C // 64) * 64
+    if lanes != C:
+        rows = jnp.pad(rows, ((0, 0), (0, lanes - C)))
+    return rows, treedef, C
+
+
+def _point_of_rows(rows, treedef, C: int, shape) -> Point:
+    """Inverse of _rows_of_point: (N, lanes) -> Point leaves (L, *shape)."""
+    planes = rows[:, :C].T.reshape((C,) + tuple(shape))
+    nleaves = treedef.num_leaves
+    return jax.tree_util.tree_unflatten(
+        treedef, jnp.split(planes, nleaves, axis=0))
+
+
+def _bucket_accumulate(F, b3, q: Point, d_sorted, num_buckets: int,
                        K: int) -> Point:
     """Bucket sums for G windows at once.
 
-    qx, qy: (G, n) AFFINE point coordinate batches (field pytrees), each
-    window row in digit-sorted order; d_sorted: (G, n) int32.  Returns
-    bucket batch (G, num_buckets) (bucket 0 = garbage/unused).  Batching the
-    window axis through the K-step scan keeps every complete-add wide enough
-    to saturate the VPU / hit the Pallas mont_mul tile, instead of scanning
-    windows one by one; affine inputs make each scan step a fused complete
-    MIXED add (13 muls vs 14, weierstrass.padd_mixed).
+    q: PROJECTIVE point batch (G, n) (field pytrees), each window row in
+    digit-sorted order; d_sorted: (G, n) int32.  Returns bucket batch
+    (G, num_buckets) (bucket 0 = garbage/unused).  Batching the window axis
+    through the K-step scan keeps every complete-add wide enough to
+    saturate the VPU / hit the Pallas mont_mul tile, instead of scanning
+    windows one by one.  Projective inputs (vs a one-time affine
+    normalization) add one mul per scan add (complete add, 14 muls, vs the
+    mixed add's 13) but remove the 2^20-wide batch inversion from the
+    critical path and make infinity inputs need no special casing.
     """
     G, n = d_sorted.shape
     assert n % K == 0
@@ -199,7 +226,7 @@ def _bucket_accumulate(F, b3, qx, qy, d_sorted, num_buckets: int,
             lambda a: jnp.moveaxis(a.reshape(a.shape[0], G, B, K), 3, 0), e
         )  # leaves (K, L, G, B)
 
-    qx_seq, qy_seq = step_major(qx), step_major(qy)
+    q_seq = step_major(q)
     head_seq = jnp.moveaxis(head, 2, 0)  # (K, G, B)
     prev_seq = jnp.moveaxis(prev, 2, 0)  # (K, G, B)
     step_idx = jnp.arange(K)
@@ -207,28 +234,32 @@ def _bucket_accumulate(F, b3, qx, qy, d_sorted, num_buckets: int,
     acc0 = wst.infinity(F, (G, B))
 
     def body(acc, xs):
-        ex, ey, h, pd, t = xs
+        ex, ey, ez, h, pd, t = xs
         flush = h & (t > 0)
         tgt = dummy_tgt(pd, flush)
         out = (acc, tgt)  # finished partial (if any) + its bucket index
-        acc = wst.padd_mixed_sel(F, b3, acc, ex, ey, h)
+        acc = wst.padd_sel(F, b3, acc, Point(ex, ey, ez), h)
         return acc, out
 
     acc, (flush_pts, flush_tgt) = jax.lax.scan(
-        body, acc0, (qx_seq, qy_seq, head_seq, prev_seq, step_idx)
+        body, acc0, (*q_seq, head_seq, prev_seq, step_idx)
     )
-    # One scatter for all mid-segment flushes.  Real targets are unique per
-    # window over the whole scan (a digit segment ends strictly inside at
-    # most one lane, at one step); dummies collide harmlessly per window.
+    # One ROW scatter for all mid-segment flushes.  Real targets are unique
+    # per window over the whole scan (a digit segment ends strictly inside
+    # at most one lane, at one step); dummies collide harmlessly per window.
     tgt_flat = flush_tgt.reshape(-1)  # (K*G*B,)
-    buckets0 = wst.infinity(F, (G * slots,))
-    buckets = _point_map(
-        lambda bk, fp: bk.at[:, tgt_flat].set(
-            jnp.moveaxis(fp, 0, 1).reshape(fp.shape[1], -1), mode="drop"),
-        buckets0, wst.Point(*flush_pts))
+    # flush_pts leaves: (K, L, G, B) -> point batch (K*G*B,)
+    flush_flat = _point_map(
+        lambda a: jnp.moveaxis(a, 0, 1).reshape(a.shape[1], -1),
+        Point(*flush_pts))
+    flush_rows, treedef, C = _rows_of_point(flush_flat)
+    bk0_rows, _, _ = _rows_of_point(
+        wst.infinity(F, (G * slots,)), lanes=flush_rows.shape[1])
+    bk_rows = bk0_rows.at[tgt_flat].set(flush_rows, mode="drop")
 
     # End-of-lane partials: segmented sum across lanes (sorted order), then
-    # merge unique segment-end totals into buckets.
+    # merge unique segment-end totals into buckets (row gather + row
+    # scatter at G*B indices).
     d_end = d2[..., -1]  # (G, B)
     seg_head = jnp.concatenate(
         [jnp.ones((G, 1), bool), d_end[:, 1:] != d_end[:, :-1]], axis=-1
@@ -247,18 +278,14 @@ def _bucket_accumulate(F, b3, qx, qy, d_sorted, num_buckets: int,
     is_end = jnp.concatenate(
         [d_end[:, :-1] != d_end[:, 1:], jnp.ones((G, 1), bool)], axis=-1)
     tgt = dummy_tgt(d_end, is_end).reshape(-1)  # (G*B,)
-    cur = _point_map(
-        lambda bk: jnp.take(bk, tgt, axis=1).reshape(
-            bk.shape[0], G, B), buckets)
+    cur = _point_of_rows(jnp.take(bk_rows, tgt, axis=0), treedef, C, (G, B))
     merged = wst.padd(F, b3, Point(*cur), seg_total)
-    buckets = _point_map(
-        lambda bk, mg: bk.at[:, tgt].set(
-            mg.reshape(mg.shape[0], G * B), mode="drop"),
-        buckets, merged,
-    )
-    return _point_map(
-        lambda bk: bk.reshape(bk.shape[0], G, slots)[:, :, :num_buckets],
-        buckets)
+    merged_rows, _, _ = _rows_of_point(
+        _point_map(lambda a: a.reshape(a.shape[0], -1), merged),
+        lanes=bk_rows.shape[1])
+    bk_rows = bk_rows.at[tgt].set(merged_rows, mode="drop")
+    buckets = _point_of_rows(bk_rows, treedef, C, (G, slots))
+    return _point_map(lambda a: a[..., :num_buckets], buckets)
 
 
 # Below this window size the hierarchical split stops paying for its extra
@@ -342,15 +369,16 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     bucket count and the weighted-bucket-sum work.
 
     Data-movement design (the measured bottleneck is the per-window point
-    gather, not EC math): inputs are normalized to AFFINE once (one batch
-    inversion) and laid out ROW-MAJOR — one (n, 64*k) uint32 row per point
-    holding all coordinate limbs — because XLA:TPU gathers whole rows at a
-    fixed ~11.5 ns/row regardless of row width, while gathering along the
-    lane axis of a plane-major (C, n) array is ~3.3x slower (measured on
-    v5e, docs/speed_of_light.md).  Each window group issues a single
-    row-gather + one transpose back to limb-major, the negation bit rides
-    inside the sort value (no second gather), and the scan uses the fused
-    complete mixed-add kernel (z = 1 implicit)."""
+    gather and the bucket-table scatter, not EC math): points stay
+    PROJECTIVE and are laid out ROW-MAJOR — one (n, 64*k) uint32 row per
+    point holding all coordinate limbs — because XLA:TPU gathers/scatters
+    whole rows at a fixed per-row cost (~11.5 ns gather), while moving
+    data along the lane axis of a plane-major (C, n) array is ~3x slower
+    (measured on v5e, docs/speed_of_light.md).  Each window group issues a
+    single row-gather + one transpose back to limb-major, the negation bit
+    rides inside the sort value (no second gather), the scan uses the
+    fused complete-add kernel, and bucket flushes land via one row
+    scatter."""
     n = s_limbs.shape[1]
     if c is None:
         c = default_window(n, signed)
@@ -380,19 +408,14 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         )
         s_limbs = jnp.pad(s_limbs, ((0, 0), (0, pad)))
 
-    # one-time affine normalization; infinity inputs -> (0, 0) with their
-    # digits forced to 0 below (bucket 0 is dropped, so they never count)
-    ax, ay, inf = wst.to_affine(F, points, axis=0)
-    xy_leaves, xy_def = jax.tree_util.tree_flatten((ax, ay))
-    C = len(xy_leaves) * xy_leaves[0].shape[0]
-    lanes = -(-C // 64) * 64  # row width padded to a 64-lane multiple
-    # ROW-MAJOR point table: one uint32 row per point (see docstring)
-    rows = jnp.concatenate(xy_leaves, axis=0).T  # (n_pad, C)
-    if lanes != C:
-        rows = jnp.pad(rows, ((0, 0), (0, lanes - C)))
+    # ROW-MAJOR projective point table: one uint32 row per point (see
+    # docstring).  No affine normalization: the complete formulas take
+    # arbitrary-z inputs (infinity included) and the 2^20-wide batch
+    # inversion it would need costs more than the one extra mul per scan
+    # add (full vs mixed complete add).
+    rows, xy_def, C = _rows_of_point(points)
 
     digits = scalar_digits(s_limbs, c)  # (W, n_pad)
-    digits = jnp.where(inf[None], 0, digits)
     if signed:
         digits, dneg = signed_digits(digits, c)
     else:
@@ -410,41 +433,44 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         jnp.int32)
     d_sorted, v_sorted = jax.lax.sort_key_val(digits, vals, dimension=1)
 
-    nleaves = len(xy_leaves)
-
     def group_body(carry, xs):
         dsort, vsort = xs  # (G, n_pad)
         perm = vsort >> 1
         g_rows = jnp.take(rows, perm.reshape(-1), axis=0, mode="clip")
         # back to limb-major planes: one XLA relayout of the gathered copy
-        g = g_rows[:, :C].T.reshape(C, G, n_pad)
-        qx, qy = jax.tree_util.tree_unflatten(
-            xy_def, jnp.split(g, nleaves, axis=0))
+        q = _point_of_rows(g_rows, xy_def, C, (G, n_pad))
         if signed:
             nsort = (vsort & 1) > 0
-            qy = F.select(nsort, F.neg(qy), qy)
-        buckets = _bucket_accumulate(F, b3, qx, qy, dsort, num_buckets, K)
-        if signed:
-            # magnitudes span [0, half]; the power-of-two-sized weighted sum
-            # covers [1, half-1] and the top bucket contributes half * B_half
-            main = _point_map(lambda a: a[..., :half], buckets)
-            top = _point_map(lambda a: a[..., half], buckets)
-            s_w = _weighted_bucket_sum(F, b3, main, c - 1)
-            for _ in range(c - 1):
-                top = wst.pdbl(F, b3, top)
-            s_w = wst.padd(F, b3, s_w, top)
-        else:
-            s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (G,) batch
-        return carry, tuple(s_w)
+            q = Point(q.x, F.select(nsort, F.neg(q.y), q.y), q.z)
+        buckets = _bucket_accumulate(F, b3, q, dsort, num_buckets, K)
+        return carry, tuple(buckets)
 
-    _, group_sums = jax.lax.scan(
+    _, group_buckets = jax.lax.scan(
         group_body, 0,
         (d_sorted.reshape(W_pad // G, G, n_pad),
          v_sorted.reshape(W_pad // G, G, n_pad)))
-    # group_sums leaves: (W_pad//G, L, G) — flatten to window-major (W_pad, L)
-    window_sums = _point_map(
-        lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]),
-        Point(*group_sums))
+    # group_buckets leaves: (W_pad//G, L, G, num_buckets) -> batch ALL
+    # windows into one weighted-bucket-sum pass (L, W_pad, num_buckets).
+    # Summing per group wasted W/G x launch overhead: at small per-level
+    # widths the sum's halving adds are launch-bound, so batching the
+    # window axis is nearly free and removes it from the critical path.
+    buckets = _point_map(
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(
+            a.shape[1], W_pad, num_buckets),
+        Point(*group_buckets))
+    if signed:
+        # magnitudes span [0, half]; the power-of-two-sized weighted sum
+        # covers [1, half-1] and the top bucket contributes half * B_half
+        main = _point_map(lambda a: a[..., :half], buckets)
+        top = _point_map(lambda a: a[..., half], buckets)
+        s_w = _weighted_bucket_sum(F, b3, main, c - 1)
+        for _ in range(c - 1):
+            top = wst.pdbl(F, b3, top)
+        s_w = wst.padd(F, b3, s_w, top)
+    else:
+        s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (W_pad,) batch
+    # leaves (L, W_pad) -> (W_pad, L) so the Horner scan walks windows
+    window_sums = _point_map(lambda a: a.T, s_w)
     # combine MSB window first: res = sum_w 2^{c w} S_w (Horner)
     res = wst.infinity(F, ())
 

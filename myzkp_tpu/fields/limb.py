@@ -36,14 +36,19 @@ _MASK = np.uint32(MASK)
 # ---------------------------------------------------------------------------
 
 def from_int(spec: FieldSpec, x) -> jax.Array:
-    """Python int / iterable of ints (host) -> limb array (standard domain)."""
+    """Python int / iterable of ints (host) -> limb array (standard domain).
+
+    Limb extraction goes through ``int.to_bytes`` + one ``np.frombuffer``
+    (C speed) — the per-limb Python shift loop took ~200 us/element and
+    dominated benchmark setup at 2^20 scalars.
+    """
     xs = np.asarray(x, dtype=object)
     flat = xs.reshape(-1)
-    out = np.empty((spec.L, flat.size), dtype=np.uint32)
-    for k, v in enumerate(flat):
-        v = int(v) % spec.p
-        for i in range(spec.L):
-            out[i, k] = (v >> (W * i)) & MASK
+    nb = 2 * spec.L
+    p = spec.p
+    buf = b"".join((int(v) % p).to_bytes(nb, "little") for v in flat.tolist())
+    out = (np.frombuffer(buf, dtype="<u2")
+           .reshape(flat.size, spec.L).T.astype(np.uint32))
     return jnp.asarray(out.reshape((spec.L,) + xs.shape))
 
 

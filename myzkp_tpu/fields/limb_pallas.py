@@ -38,6 +38,7 @@ _MASK = np.uint32(MASK)
 _S = 32  # sublane rows per batch tile; tile = (S, 128) lanes
 
 
+@functools.lru_cache(maxsize=None)
 def _make_kernel(spec: FieldSpec, interpret: bool = False):
     from .tile_ops import TileFp
 
@@ -49,6 +50,7 @@ def _make_kernel(spec: FieldSpec, interpret: bool = False):
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
 def _make_butterfly_kernel(spec: FieldSpec, dit: bool, interpret: bool = False):
     from .tile_ops import TileFp
 
