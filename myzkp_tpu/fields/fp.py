@@ -83,9 +83,24 @@ class Fp:
         return Fp(self.spec, self.mont.reshape((self.spec.L,) + tuple(shape)))
 
     def broadcast_to(self, shape) -> "Fp":
-        return Fp(
-            self.spec, jnp.broadcast_to(self.mont, (self.spec.L,) + tuple(shape))
-        )
+        """Broadcast batch dims to ``shape`` (numpy-style, right-aligned).
+
+        The limb axis is leading, so the current batch shape must first be
+        left-padded with singleton dims before ``jnp.broadcast_to`` — naive
+        broadcasting of the raw ``(L, *batch)`` array would right-align the
+        limb axis itself against ``shape`` (it only "worked" when the last
+        batch dim happened to equal L)."""
+        shape = tuple(shape)
+        cur = self.shape
+        if len(shape) < len(cur):
+            raise ValueError(f"cannot broadcast batch {cur} to {shape}")
+        m = self.mont.reshape(
+            (self.spec.L,) + (1,) * (len(shape) - len(cur)) + cur)
+        return Fp(self.spec, jnp.broadcast_to(m, (self.spec.L,) + shape))
+
+    @classmethod
+    def full(cls, spec: FieldSpec, batch_shape, value: int) -> "Fp":
+        return cls.from_int(spec, value).broadcast_to(tuple(batch_shape))
 
     def __getitem__(self, idx) -> "Fp":
         if not isinstance(idx, tuple):
