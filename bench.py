@@ -62,17 +62,24 @@ def _time_fetch(fn, *args, reps=2):
     return min(ts)
 
 
-def _chain_time(step, init, n_long=8, n_short=1, reps=2):
+def _chain_time(step, init, n_long=8, n_short=1, reps=2, consts=()):
     """Seconds per step: diff of two on-device chain lengths (traced N, one
-    compile). ``step`` must be shape-preserving and data-dependent."""
+    compile). ``step(i, x, *consts)`` must be shape-preserving and
+    data-dependent.
+
+    Loop-invariant arrays MUST go in ``consts`` (threaded through the jit as
+    arguments), never captured in ``step``'s closure: closed-over device
+    arrays become HLO literal constants, and at 2^20 points that ~200 MB
+    payload exceeds the relay's remote-compile HTTP body limit (the round-2
+    BENCH rc=1 / HTTP 413 failure)."""
 
     @jax.jit
-    def run(N, x0):
-        x = jax.lax.fori_loop(0, N, lambda i, x: step(i, x), x0)
+    def run(N, x0, *cs):
+        x = jax.lax.fori_loop(0, N, lambda i, x: step(i, x, *cs), x0)
         return jax.tree_util.tree_leaves(x)[0].ravel()[0]
 
-    tl = _time_fetch(functools.partial(run, n_long), init, reps=reps)
-    ts = _time_fetch(functools.partial(run, n_short), init, reps=reps)
+    tl = _time_fetch(functools.partial(run, n_long), init, *consts, reps=reps)
+    ts = _time_fetch(functools.partial(run, n_short), init, *consts, reps=reps)
     return (tl - ts) / (n_long - n_short)
 
 
@@ -86,30 +93,56 @@ def bench_bitchecks(extra):
     n = 1 << 14
     a = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(0), (n,)))
     b = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(1), (n,)))
-    os.environ["MYZKP_PALLAS"] = "0"
-    want = np.asarray(jax.jit(lambda a, b: limb.mont_mul(spec, a, b))(a, b))
-    os.environ["MYZKP_PALLAS"] = "1"
-    got = np.asarray(jax.jit(
-        lambda a, b: limb_pallas.mont_mul_pallas(spec, a, b))(a, b))
-    ok_mul = bool((got == want).all())
+    prev_pallas = os.environ.get("MYZKP_PALLAS")
+    try:
+        os.environ["MYZKP_PALLAS"] = "0"
+        want = np.asarray(jax.jit(lambda a, b: limb.mont_mul(spec, a, b))(a, b))
+        os.environ["MYZKP_PALLAS"] = "1"
+        got = np.asarray(jax.jit(
+            lambda a, b: limb_pallas.mont_mul_pallas(spec, a, b))(a, b))
+        ok_mul = bool((got == want).all())
 
-    tw = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(2), (n,)))
-    gu, gv = jax.jit(lambda u, v, t: limb_pallas.butterfly_pallas(
-        spec, u, v, t, dit=False))(a, b, tw)
-    os.environ["MYZKP_PALLAS"] = "0"
-    wu, wv = jax.jit(lambda u, v, t: (
-        limb.add(spec, u, v),
-        limb.mont_mul(spec, limb.sub(spec, u, v), t)))(a, b, tw)
-    os.environ["MYZKP_PALLAS"] = "1"
-    ok_bf = bool((np.asarray(gu) == np.asarray(wu)).all()
-                 and (np.asarray(gv) == np.asarray(wv)).all())
+        tw = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(2), (n,)))
+        gu, gv = jax.jit(lambda u, v, t: limb_pallas.butterfly_pallas(
+            spec, u, v, t, dit=False))(a, b, tw)
+        os.environ["MYZKP_PALLAS"] = "0"
+        wu, wv = jax.jit(lambda u, v, t: (
+            limb.add(spec, u, v),
+            limb.mont_mul(spec, limb.sub(spec, u, v), t)))(a, b, tw)
+        ok_bf = bool((np.asarray(gu) == np.asarray(wu)).all()
+                     and (np.asarray(gv) == np.asarray(wv)).all())
+
+        # fused multi-stage NTT leaf kernel vs pure-JAX Stockham (over the
+        # NTT field bn254-r: q-1 has 2-adicity 1, no length-256 roots)
+        from myzkp_tpu.fields.spec import bn254_r_spec
+        from myzkp_tpu.ops import ntt as nttmod
+
+        rspec = bn254_r_spec()
+        ar = limb.to_mont(rspec, limb.random(rspec, jax.random.PRNGKey(5),
+                                             (n,)))
+        m = 128
+        x4 = ar.reshape(rspec.L, 1, m, n // m)
+        twf = jnp.asarray(nttmod._leaf_twiddles_np(rspec, m, False))
+        gl = np.asarray(limb_pallas.ntt_leaf_pallas(rspec, x4, twf, m))
+        os.environ["MYZKP_PALLAS"] = "0"
+        wl = np.asarray(jax.jit(
+            lambda x: nttmod._stockham_axis(rspec, x, m, False))(x4))
+        os.environ["MYZKP_PALLAS"] = "1"
+        ok_leaf = bool((gl == wl).all())
+    finally:
+        if prev_pallas is None:
+            os.environ.pop("MYZKP_PALLAS", None)
+        else:
+            os.environ["MYZKP_PALLAS"] = prev_pallas
     extra["bitcheck_mont_mul"] = ok_mul
     extra["bitcheck_butterfly"] = ok_bf
-    if not (ok_mul and ok_bf):
+    extra["bitcheck_ntt_leaf"] = ok_leaf
+    if not (ok_mul and ok_bf and ok_leaf):
         print(json.dumps({"metric": "BITCHECK_FAILED", "value": 0,
                           "unit": "", "vs_baseline": 0, "extra": extra}))
         sys.exit(1)
-    print(f"# bitchecks OK (mont_mul, butterfly @ 2^14)", file=sys.stderr)
+    print("# bitchecks OK (mont_mul, butterfly @ 2^14, ntt_leaf @ 128x128)",
+          file=sys.stderr)
 
 
 def bench_mont_mul(extra):
@@ -121,8 +154,8 @@ def bench_mont_mul(extra):
     a = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(0), (n,)))
     b = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(1), (n,)))
     dt = _chain_time(
-        lambda i, x: limb_pallas.mont_mul_pallas(spec, x, b), a,
-        n_long=32, n_short=4)
+        lambda i, x, b: limb_pallas.mont_mul_pallas(spec, x, b), a,
+        n_long=32, n_short=4, consts=(b,))
     extra["mont_mul_2^20_M_per_s"] = round(n / dt / 1e6, 1)
     print(f"# mont_mul 2^20: {n/dt/1e6:.0f} M muls/s", file=sys.stderr)
 
@@ -186,13 +219,17 @@ def bench_msm(extra):
         sys.exit(1)
     print("# msm golden @512 OK", file=sys.stderr)
 
-    def step(i, carry):
-        s2 = scalars.at[0, 0].set(
+    def step(i, carry, px, py, pz, sl):
+        # points/scalars arrive as jit arguments (consts=...), NOT closure
+        # captures — see _chain_time: captured 2^20-point tables become HLO
+        # literals and overflow the relay's remote-compile request body.
+        s2 = sl.at[0, 0].set(
             (carry[0][0] + i.astype(jnp.uint32)) & jnp.uint32(0x7FFF))
-        return tuple(msm.msm_pippenger(F, b3, points, s2))
+        return tuple(msm.msm_pippenger(F, b3, wst.Point(px, py, pz), s2))
 
     init = (points.x[:, 0] * 0, points.y[:, 0] * 0, points.z[:, 0] * 0)
-    dt = _chain_time(step, init, n_long=4, n_short=1, reps=2)
+    dt = _chain_time(step, init, n_long=4, n_short=1, reps=2,
+                     consts=(points.x, points.y, points.z, scalars))
     pps = n / dt
     print(f"# msm 2^{LOG_N}: {dt*1e3:.1f} ms -> {pps/1e3:.0f} k pts/s",
           file=sys.stderr)
