@@ -110,7 +110,10 @@ def commit(pk: KZGPublicKey, p: Poly, method: str = "pippenger") -> PyPoint:
 def commit_g2(pk: KZGPublicKey, p: Poly) -> PyPoint:
     """[p(s)] G2 over the full-G2 SRS (used by batch verification)."""
     n = p.capacity
-    assert n <= pk.powers2.x[0].shape[1], "needs full_g2 setup"
+    if n > pk.powers2.x[0].shape[1]:
+        raise ValueError(
+            f"G2 commitment of capacity {n} needs a full_g2 setup "
+            f"(SRS has {pk.powers2.x[0].shape[1]} G2 powers)")
     F, b3 = bn254.g2_ops(), bn254.g2_b3(())
     pt = _msm.msm_naive(F, b3, _slice_points(pk.powers2, n), _coef_scalars(p))
     return _to_host_single_g2(pt)
@@ -184,8 +187,14 @@ def batch_verify(pk: KZGPublicKey, us: list[int], ys: list[int],
                  commitment: PyPoint, witness: PyPoint) -> bool:
     """e(C - [I(s)]G1, G2) == e(w, [Z(s)]G2) (parity: kzg.rs:104-119).
 
-    Needs a full-G2 SRS for [Z(s)]G2.
+    Needs a full-G2 SRS for [Z(s)]G2; returns False (not an exception) on
+    structurally invalid input — a verifier must reject, never crash
+    (parity with fri.rs:258-405's reject-don't-panic discipline).
     """
+    if not us or len(ys) != len(us) or len(set(u % bn254.R for u in us)) != len(us):
+        return False
+    if len(us) + 1 > pk.powers2.x[0].shape[1]:
+        return False  # vanishing-poly G2 commitment needs full_g2 setup
     spec = bn254.r_spec()
     xs = Fp.from_int(spec, us)
     ysf = Fp.from_int(spec, ys)
@@ -202,7 +211,8 @@ def prove_degree_bound(pk: KZGPublicKey, p: Poly, d: int) -> PyPoint:
     bound)."""
     max_d = pk.degree
     shift = max_d - d
-    assert shift >= 0
+    if shift < 0:
+        raise ValueError(f"degree bound {d} exceeds SRS degree {max_d}")
     shifted = Poly(Fp(p.spec, jnp.pad(
         p.coef.mont[..., : d + 1], [(0, 0), (shift, 0)])))
     return commit(pk, shifted)
@@ -212,10 +222,12 @@ def verify_degree_bound(pk: KZGPublicKey, commitment: PyPoint,
                         degree_proof: PyPoint, d: int) -> bool:
     """e(proof, G2) == e(C, [s^(max_d-d)]G2) (parity: kzg.rs:135-144).
 
-    Needs a full-G2 SRS.
+    Needs a full-G2 SRS; rejects (returns False) rather than crashing on a
+    structurally invalid claimed bound.
     """
     max_d = pk.degree
     g2s = pk.host_g2()
-    assert max_d - d < len(g2s), "needs full_g2 setup"
+    if d < 0 or not (0 <= max_d - d < len(g2s)):
+        return False
     return bn254.pairing_product_is_one([
         (degree_proof, g2s[0]), (-commitment, g2s[max_d - d])])

@@ -297,9 +297,21 @@ class FRI:
         for _ in range(self.num_rounds() - 1):
             last_omega = last_omega * last_omega % p
             last_offset = last_offset * last_offset % p
-        if last_omega % p == 0 or \
-                pow(last_omega, -1, p) != pow(last_omega, nlast - 1, p):
-            return False  # omega does not have the right order
+        # omega must have EXACT order nlast: omega^nlast == 1 and, for every
+        # prime q | nlast, omega^(nlast/q) != 1.  (The previous guard only
+        # checked omega^nlast == 1, which any order dividing nlast passes.)
+        if last_omega % p == 0 or pow(last_omega, nlast, p) != 1:
+            return False
+        rest, q, prime_facs = nlast, 2, set()
+        while q * q <= rest:
+            while rest % q == 0:
+                prime_facs.add(q)
+                rest //= q
+            q += 1
+        if rest > 1:
+            prime_facs.add(rest)
+        if any(pow(last_omega, nlast // f, p) == 1 for f in prime_facs):
+            return False  # omega's order properly divides nlast
         xs, acc = [], last_offset
         for _ in range(nlast):
             xs.append(acc)

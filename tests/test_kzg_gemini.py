@@ -90,3 +90,31 @@ def test_split_and_fold_errors():
         gemini.split_and_fold(Fp.from_int(spec, [1, 2, 3]), [1])
     with pytest.raises(gemini.SplitFoldError):
         gemini.split_and_fold(Fp.from_int(spec, [1, 2, 3, 4]), [1])
+
+
+def test_kzg_verify_paths_reject_invalid_structure(setup_kzg):
+    """Verifier hardening (VERDICT r2 #8): structurally invalid inputs must
+    return False, never raise (parity: fri.rs reject-don't-panic)."""
+    pk, coeffs, p, C = setup_kzg
+    dp = kzg.prove_degree_bound(pk, p, 8)
+    # claimed bound beyond the SRS degree / negative: reject, don't crash
+    assert not kzg.verify_degree_bound(pk, C, dp, pk.degree + 1)
+    assert not kzg.verify_degree_bound(pk, C, dp, -1)
+    # prover-side misuse raises a clear error
+    with pytest.raises(ValueError):
+        kzg.prove_degree_bound(pk, p, pk.degree + 5)
+    # batch verify: empty points, duplicate points, ys length mismatch
+    ys, w = kzg.batch_open(pk, p, [2, 5])
+    assert not kzg.batch_verify(pk, [], [], C, w)
+    assert not kzg.batch_verify(pk, [2, 2], ys, C, w)
+    assert not kzg.batch_verify(pk, [2, 5], ys[:1], C, w)
+
+
+def test_kzg_batch_verify_minimal_srs_rejects():
+    """Minimal-G2 SRS cannot check a vanishing-poly commitment: reject."""
+    rng = random.Random(3)
+    pk_min = kzg.setup(7, rng=rng, full_g2=False)
+    p = Poly.from_int_coeffs(bn254.r_spec(), [rng.randrange(R) for _ in range(4)])
+    C = kzg.commit(pk_min, p)
+    ys, w = kzg.batch_open(pk_min, p, [2, 5])
+    assert not kzg.batch_verify(pk_min, [2, 5], ys, C, w)
