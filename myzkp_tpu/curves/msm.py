@@ -139,9 +139,11 @@ def default_window(n: int, signed: bool = True) -> int:
     Per window: n * (1 + _SORT_GATHER_W) for the sort, the gather and the
     bucket scan, ~2 * 2^c narrow adds in the hierarchical weighted-bucket
     sum (over 2^(c-1) buckets in signed-digit form), ~c serial ops in the
-    Horner tail; W(c) = ceil(256/c) windows total.  Data movement (the sort
-    and gather at ~22 ns/index) dominates on TPU, which pushes the optimum
-    toward larger windows than an EC-only model would pick.
+    Horner tail; W(c) = ceil(256/c) windows total.  With the measured
+    chain-diff constants (sort ~3.1 ns/elt + row gather ~11.5 ns vs ~9 ns
+    per fused EC add -> _SORT_GATHER_W = 1.6) data movement still rivals
+    the EC adds themselves, which pushes the optimum toward larger windows
+    than an EC-only model would pick.
     """
     best_c, best_cost = 4, None
     for c in range(4, 20):

@@ -99,11 +99,11 @@ def padd_mixed(F, b3, p: Point, qx, qy) -> Point:
 
     Specializes padd's Z2 = 1: t2 = Z1 for free, and the two pair-products
     involving Z2 collapse to Z1*qy + Y1 and Z1*qx + X1 — 13 field muls
-    instead of 14 plus fewer adds.  The MSM bucket scan uses this with
-    pre-normalized affine inputs (one batch inversion up front), which also
-    halves the per-window point-gather volume (x, y only — z is implicit).
-    Q must not be the point at infinity (affine form can't express it);
-    callers route infinity inputs to digit 0 whose bucket is dropped.
+    instead of 14 plus fewer adds.  Used by the fused Pallas G2/mixed-add
+    paths (curve_pallas.try_padd_mixed); the G1 MSM bucket scan itself now
+    runs the full projective complete add on a row-major point table, so it
+    no longer routes through here.  Q must not be the point at infinity
+    (affine form can't express it).
     """
     from . import curve_pallas
 

@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..curves import msm as _msm, weierstrass as wst
@@ -157,7 +157,7 @@ def dist_ntt(spec: FieldSpec, a, mesh: Mesh, axis: str = "shard",
         local, mesh=mesh,
         in_specs=(pspec, P(None, None, axis)),
         out_specs=pspec,
-        check_rep=False,
+        check_vma=False,
     )
     return f(A, tw), (n1, n2)
 
@@ -282,7 +282,7 @@ def dist_msm(F, b3, points: wst.Point, s_limbs, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(pspec[0], pspec[1], pspec[2], P(None, axis)),
         out_specs=_point_pspec_out(points),
-        check_rep=False,
+        check_vma=False,
     )
     return wst.Point(*f(points.x, points.y, points.z, s_limbs))
 
@@ -317,7 +317,7 @@ def dist_batch(fn, mesh: Mesh, axis: str = "shard"):
             fn, mesh=mesh,
             in_specs=tuple(P(axis) for _ in args),
             out_specs=P(axis),
-            check_rep=False,
+            check_vma=False,
         )(*args)
 
     return wrapped
@@ -359,7 +359,7 @@ def dist_fold_into_half(spec: FieldSpec, table, mesh: Mesh, r,
         local, mesh=mesh,
         in_specs=(P(None, axis), P(None, None)),
         out_specs=P(None, axis),
-        check_rep=False,
+        check_vma=False,
     )(table, r.reshape(spec.L, 1))
 
 
@@ -396,5 +396,5 @@ def dist_table_sum(spec: FieldSpec, table, mesh: Mesh, axis: str = "shard"):
         local, mesh=mesh,
         in_specs=(P(None, axis),),
         out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )(table)
