@@ -113,6 +113,132 @@ def butterfly_pallas(spec: FieldSpec, u, v, tw, dit: bool,
     return unflat(su), unflat(sv)
 
 
+# Trailing in-place stages per leaf: sub-transforms of this length run as
+# roll+select butterflies inside 8-row sublane groups — slicing the sublane
+# axis below 8 rows forces Mosaic relayouts that measured 10x slower than
+# the math itself (10.5 ms vs ~1 ms for the slab stages, v5e).
+_NTT_TAIL = 3
+
+
+def ntt_leaf_row_perm(m: int) -> np.ndarray:
+    """Static row permutation mapping the leaf kernel's output to natural
+    order: out_natural[k] = kernel_out[perm[k]].
+
+    After S = log2(m)-3 Stockham slab stages, block g of the (m/8, 8)-row
+    structure holds output residue class k = g (mod m/8); the in-place DIF
+    tail then produces each group's local length-8 transform in
+    bit-reversed order.  Hence kernel row g*8 + r holds natural index
+    k = g + (m/8) * bitrev3(r).
+    """
+    g8 = m // 8
+    rev3 = [int(f"{r:03b}"[::-1], 2) for r in range(8)]
+    perm = np.empty(m, dtype=np.int32)
+    for k in range(m):
+        perm[k] = (k % g8) * 8 + rev3[k // g8]
+    return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ntt_leaf_kernel(spec: FieldSpec, m: int, interpret: bool = False):
+    from .tile_ops import TileFp
+
+    # interpret mode (CPU tests): the unrolled mul — run_scoped scratch
+    # emulation makes XLA:CPU compiles of multi-mul kernels ~10x slower
+    tF = TileFp(spec, use_scratch=not interpret)
+    L = spec.L
+    stages = m.bit_length() - 1
+    assert stages > _NTT_TAIL, "leaf kernel needs m >= 16"
+    S = stages - _NTT_TAIL  # slab (Stockham) stages; the rest run in place
+
+    def kernel(x_ref, t_ref, o_ref):
+        # x block: (L, 1, m, 128) — the full length-m transform axis on
+        # sublanes, one 128-lane batch tile.  All log2(m) stages run here
+        # with every intermediate in VMEM/vregs; the only HBM traffic for
+        # the whole sub-transform is one read + one write.
+        #
+        # Stages with h >= 8 are Stockham slab stages (contiguous half-slab
+        # split + concat — cheap).  The last three (pairs inside 8-row
+        # sublane groups) are in-place DIF butterflies via sublane rolls and
+        # a row-parity select: no sub-8 slicing, no cross-group movement.
+        # Output rows are therefore in the statically-known permuted order
+        # ntt_leaf_row_perm(m); the wrapper (or caller) unpermutes.
+        x = x_ref[...].reshape(L, 1, m, 128)  # (L, blocks=1, c=m, lanes)
+        off, c = 0, m
+        for _ in range(S):
+            h = c // 2
+            u = x[:, :, :h, :]
+            v = x[:, :, h:, :]
+            tw = t_ref[:, off : off + h, :].reshape(L, 1, h, 1)
+            su = tF.add(u, v)
+            sv = tF.mul(tF.sub(u, v), tw)
+            x = jnp.concatenate([su, sv], axis=1)
+            off += h
+            c = h
+        x = x.reshape(L, m, 128)
+        # tail: in-place DIF inside each 8-row group (c = 8, 4, 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 0)
+        for cc in (8, 4, 2):
+            h = cc // 2
+            is_u = (row % cc) < h
+            fwd = pltpu.roll(x, m - h, axis=1)  # x[j+h] at row j (cyclic)
+            bwd = pltpu.roll(x, h, axis=1)      # x[j-h] at row j
+            su = tF.add(x, fwd)              # valid at u rows
+            diff = tF.sub(bwd, x)            # (u - v) at v rows
+            if cc > 2:
+                twt = t_ref[:, off : off + m, :].reshape(L, m, 1)
+                diff = tF.mul(diff, twt)
+                off += m
+            # c = 2 twiddle is w_2^0 = 1: no mul
+            x = tF.select(is_u[None], su, diff)
+        o_ref[...] = x.reshape(L, 1, m, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def ntt_leaf_pallas(spec: FieldSpec, x, tw, m: int, interpret: bool = False):
+    """Full length-m (16 <= m <= ~128, power of two) NTT over axis -2 of
+    ``x: (L, E, m, B)``, batched over E and B, natural order in/out.
+
+    One fused kernel runs all log2(m) butterfly stages per (m, 128) batch
+    tile entirely in VMEM — versus one kernel launch (plus a
+    broadcast-twiddle materialization and a concatenate round-trip through
+    HBM) *per stage* in the unfused path.  ``tw`` is the concatenated
+    twiddle table from ops.ntt._leaf_twiddles_np: per-stage Stockham slab
+    twiddles for the first log2(m)-3 stages, then two full-height in-place
+    tables for the 8- and 4-block tail stages.
+
+    This is the HBM-pass eliminator for the large-n recursive NTT
+    (ops/ntt.py): a 2^20 transform becomes 3 such passes + 1 transpose +
+    twiddle scalings instead of 20 full-array stage round-trips.
+    """
+    L = spec.L
+    assert x.shape[0] == L and x.shape[2] == m
+    E, B = x.shape[1], x.shape[3]
+    Bp = -(-B // 128) * 128
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+    bspec = pl.BlockSpec((L, 1, m, 128), lambda e, i: (0, e, 0, i),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(tw.shape, lambda e, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_ntt_leaf_kernel(spec, m, interpret),
+        grid=(E, Bp // 128),
+        in_specs=[bspec, tspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((L, E, m, Bp), jnp.uint32),
+        # the slab-stage run_scoped mul scratches stack past the default
+        # 16M scoped-vmem budget; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, tw)
+    # undo the tail stages' static row permutation -> natural order
+    out = jnp.take(out, jnp.asarray(ntt_leaf_row_perm(m)), axis=2)
+    return out[..., :B]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def mont_mul_pallas(spec: FieldSpec, a, b, interpret: bool = False):
     """(a * b * R^{-1}) mod p on a TPU batch tile grid.

@@ -178,11 +178,28 @@ def _stockham_axis(spec: FieldSpec, x, m: int, inverse: bool):
     return x.reshape(lead + (m, B))
 
 
-# From this size up, decompose as a four-step NTT so no butterfly stage ever
-# moves data in blocks smaller than ~n1/n2 lanes (one transpose instead).
-# Measured on a v5e chip: 2^14 runs ~10x faster four-step than single-level;
-# below that, dispatch latency dominates either path.
+# From this size up, decompose recursively (four-step) so no butterfly stage
+# ever moves data in blocks smaller than ~sqrt(n) lanes.  Measured on a v5e
+# chip: 2^14 runs ~10x faster decomposed than single-level; below that,
+# dispatch latency dominates either path.
 _FOURSTEP_MIN_N = 1 << 14
+
+# Leaf sub-transform length for the recursive decomposition.  On TPU a leaf
+# runs as ONE fused Pallas kernel: all log2(m) stages per (m, 128) tile in
+# VMEM (limb_pallas.ntt_leaf_pallas), so each leaf costs a single HBM
+# read+write pass.  m = 256 OOMs scoped VMEM (24.8M vs the 16M limit: the
+# (L, m, 128) tile is 2 MB and ~12 stage/scratch buffers are live at peak);
+# m = 128 leaves headroom.  Off-TPU the leaf is the per-stage Stockham
+# fallback.
+_FUSED_LEAF_M = 128
+
+# Use the fused leaf kernel only when the per-call batch fills tiles.
+_FUSED_LEAF_MIN_ELEMS = 1 << 14
+
+# Four-step diagonal twiddle tables up to this many elements are emitted
+# directly; larger ones use the rank-structured two-factor form (keeps
+# trace-time constants ~n^(3/4), see _outer_twiddle_np).
+_DIRECT_TWIDDLE_MAX = 1 << 13
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -193,45 +210,129 @@ def _ntt_core_small(spec: FieldSpec, a, inverse: bool):
         spec, a.reshape(lead + (n, 1)), n, inverse).reshape(lead + (n,))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_core_fourstep(spec: FieldSpec, a, inverse: bool):
-    n = a.shape[-1]
-    stages = n.bit_length() - 1
-    n1 = 1 << (stages // 2)
-    n2 = n // n1
-    A = 1 << (-(-(n2.bit_length() - 1) // 2))  # ~sqrt(n2), i2 = a + A*b
-    Bc = n2 // A
-    w = nth_root_of_unity(spec.p, n)
+@functools.lru_cache(maxsize=None)
+def _leaf_twiddles_np(spec: FieldSpec, m: int, inverse: bool) -> np.ndarray:
+    """Twiddle tables for the fused leaf kernel, shape (L, T, 1).
+
+    Layout: per-stage Stockham slab twiddles for stages 0..log2(m)-4
+    (widths m/2, m/4, ..., 8), then two full-height (m,) in-place tail
+    tables for the 8-block and 4-block stages (row r: w_cc^{(r mod cc)-h}
+    at v-rows, 1 at u-rows — the u-row value is discarded by the kernel's
+    select).  See limb_pallas._make_ntt_leaf_kernel.
+    """
+    from ..fields.limb_pallas import _NTT_TAIL
+
+    stages = m.bit_length() - 1
+    S = stages - _NTT_TAIL
+    parts = [_stage_twiddle(spec, m, s, inverse) for s in range(S)]
+
+    def tail_table(cc: int) -> np.ndarray:
+        w = nth_root_of_unity(spec.p, cc)
+        if inverse:
+            w = pow(w, -1, spec.p)
+        h = cc // 2
+        out = np.zeros((spec.L, m), dtype=np.uint32)
+        for r in range(m):
+            j = r % cc
+            v = spec.to_mont_int(pow(w, j - h, spec.p) if j >= h else 1)
+            for i in range(spec.L):
+                out[i, r] = (v >> (16 * i)) & 0xFFFF
+        return out
+
+    parts += [tail_table(8), tail_table(4)]
+    cat = np.concatenate(parts, axis=1)
+    pad = -cat.shape[1] % 8
+    if pad:
+        cat = np.pad(cat, [(0, 0), (0, pad)])
+    return np.ascontiguousarray(cat[..., None])
+
+
+def _leaf_ntt(spec: FieldSpec, x, inverse: bool):
+    """Length-m (m <= _FUSED_LEAF_M) NTT over axis -2 of (lead.., m, B)."""
+    import math
+
+    m = x.shape[-2]
+    if m == 1:
+        return x
+    if (m >= 16 and _use_fused_butterfly(x.shape)
+            and math.prod(x.shape[1:]) >= _FUSED_LEAF_MIN_ELEMS):
+        from ..fields import limb_pallas
+
+        shape = x.shape
+        x4 = x.reshape((spec.L, -1) + shape[-2:])
+        tw = jnp.asarray(_leaf_twiddles_np(spec, m, inverse))
+        out = limb_pallas.ntt_leaf_pallas(spec, x4, tw, m)
+        return out.reshape(shape)
+    return _stockham_axis(spec, x, m, inverse)
+
+
+def _fourstep_twiddle(spec: FieldSpec, x, m: int, m1: int, m2: int,
+                      inverse: bool):
+    """Multiply x (lead.., m1, m2, B) by the diagonal twiddle w_m^(k1*i2)."""
+    w = nth_root_of_unity(spec.p, m)
     if inverse:
         w = pow(w, -1, spec.p)
-    lead = a.shape[:-1]
+    lead = x.shape[:-3]
+    B = x.shape[-1]
     bshape = (1,) * (len(lead) - 1)
-    x = a.reshape(lead + (n1, n2))
-    x = _stockham_axis(spec, x, n1, inverse)  # natural k1, (.., n1, n2)
-    # diagonal twiddle w^(k1*i2) = wa[k1, a] * wb[k1, b]
-    wa = jnp.asarray(_outer_twiddle_np(spec, w, n1, A))
-    wb = jnp.asarray(_outer_twiddle_np(spec, pow(w, A, spec.p), n1, Bc))
-    x4 = x.reshape(lead + (n1, Bc, A))
-    x4 = limb.mont_mul(spec, x4, jnp.broadcast_to(
-        wa.reshape((spec.L,) + bshape + (n1, 1, A)), x4.shape))
-    x4 = limb.mont_mul(spec, x4, jnp.broadcast_to(
-        wb.reshape((spec.L,) + bshape + (n1, Bc, 1)), x4.shape))
-    x = x4.reshape(lead + (n1, n2))
-    x = jnp.swapaxes(x, -1, -2)  # (.., n2, n1)
-    x = _stockham_axis(spec, x, n2, inverse)  # natural k2
-    # x[.., k2, k1] flattens row-major to index k2*n1 + k1 = natural k
-    return x.reshape(lead + (n,))
+    if m1 * m2 <= _DIRECT_TWIDDLE_MAX:
+        t = jnp.asarray(_outer_twiddle_np(spec, w, m1, m2))
+        t = t.reshape((spec.L,) + bshape + (m1, m2, 1))
+        return limb.mont_mul(spec, x, jnp.broadcast_to(t, x.shape))
+    # rank-structured: i2 = a + A*b, w^(k1*i2) = wa[k1, a] * wb[k1, b]
+    A = 1 << (-(-(m2.bit_length() - 1) // 2))
+    Bc = m2 // A
+    wa = jnp.asarray(_outer_twiddle_np(spec, w, m1, A))
+    wb = jnp.asarray(_outer_twiddle_np(spec, pow(w, A, spec.p), m1, Bc))
+    x5 = x.reshape(lead + (m1, Bc, A, B))
+    x5 = limb.mont_mul(spec, x5, jnp.broadcast_to(
+        wa.reshape((spec.L,) + bshape + (m1, 1, A, 1)), x5.shape))
+    x5 = limb.mont_mul(spec, x5, jnp.broadcast_to(
+        wb.reshape((spec.L,) + bshape + (m1, Bc, 1, 1)), x5.shape))
+    return x5.reshape(x.shape)
+
+
+def _ntt_axis(spec: FieldSpec, x, inverse: bool):
+    """Natural-order NTT over axis -2 of (lead.., m, B), recursive four-step.
+
+    m <= _FUSED_LEAF_M: one fused-kernel (or Stockham) pass.  Larger:
+    m = m1*m2 — transform the stride-m2*B axis i1 (a free reshape merges
+    (m2, B) into the batch), diagonal twiddle w_m^(k1*i2), ONE transpose,
+    transform the i2 axis; (k2, k1) flattens row-major to natural k.
+    """
+    m = x.shape[-2]
+    if m <= _FUSED_LEAF_M:
+        return _leaf_ntt(spec, x, inverse)
+    lead, B = x.shape[:-2], x.shape[-1]
+    m1 = min(_FUSED_LEAF_M, 1 << (m.bit_length() // 2))
+    m2 = m // m1
+    x = x.reshape(lead + (m1, m2 * B))
+    x = _ntt_axis(spec, x, inverse)  # k1 in the m1 slot
+    x = x.reshape(lead + (m1, m2, B))
+    x = _fourstep_twiddle(spec, x, m, m1, m2, inverse)
+    x = jnp.swapaxes(x, -3, -2)  # (lead.., m2, m1, B) — the one transpose
+    x = x.reshape(lead + (m2, m1 * B))
+    x = _ntt_axis(spec, x, inverse)  # k2 in the m2 slot
+    return x.reshape(lead + (m, B))  # k = k2*m1 + k1: natural
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _ntt_core_recursive(spec: FieldSpec, a, inverse: bool):
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    return _ntt_axis(spec, a.reshape(lead + (n, 1)), inverse
+                     ).reshape(lead + (n,))
 
 
 def _ntt_natural(spec: FieldSpec, a, inverse: bool):
     """Natural-order NTT over the last axis of a (L, ..., n) limb array.
 
-    n < 2^15: single Stockham pass.  Larger: four-step decomposition
-    n = n1*n2 (view (n1, n2)): column transforms (Stockham over axis -2,
-    batch n2 keeps slabs wide), diagonal twiddle w_n^(k1*i2) applied as two
-    rank-structured factor tables, one transpose, row transforms; the
-    (k2, k1) result flattens directly to natural order.  Replaces the
-    reference's recursive clone-heavy radix-2 (ntt.rs:7-48).
+    n < 2^14: single Stockham pass.  Larger: recursive four-step
+    decomposition n = m1 * m2 * ... with fused-kernel leaves (<= 2^8 each,
+    one HBM pass per leaf level plus one transpose per split) — a 2^20
+    transform is 3 fused transform passes + 2 transposes + 2 twiddle
+    scalings, versus 20 full-array butterfly stage round-trips unfused.
+    Replaces the reference's recursive clone-heavy radix-2 (ntt.rs:7-48).
     """
     n = a.shape[-1]
     assert n & (n - 1) == 0
@@ -239,7 +340,7 @@ def _ntt_natural(spec: FieldSpec, a, inverse: bool):
         return a
     if n < _FOURSTEP_MIN_N:
         return _ntt_core_small(spec, a, inverse)
-    return _ntt_core_fourstep(spec, a, inverse)
+    return _ntt_core_recursive(spec, a, inverse)
 
 
 def _scale_by_n_inv(spec: FieldSpec, a):

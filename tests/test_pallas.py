@@ -216,3 +216,47 @@ def test_fused_butterfly_matches_golden():
             rv = limb.mont_mul(spec, limb.sub(spec, u, v), tw)
         assert np.array_equal(np.asarray(su), np.asarray(ru))
         assert np.array_equal(np.asarray(sv), np.asarray(rv))
+
+
+@pytest.mark.parametrize("m,E,B", [(16, 2, 64), (64, 1, 128), (128, 1, 130)])
+def test_ntt_leaf_pallas_matches_stockham(m, E, B):
+    """Fused multi-stage leaf NTT kernel (all log2(m) Stockham stages in one
+    VMEM pass) vs the per-stage golden path, forward and inverse."""
+    import jax.numpy as jnp
+
+    from myzkp_tpu.fields.fp import Fp
+    from myzkp_tpu.ops import ntt as nt
+
+    p = 3221225473
+    spec = FieldSpec.make(p)
+    rng = random.Random(m * 1000 + B)
+    vals = [[[rng.randrange(p) for _ in range(B)] for _ in range(m)]
+            for _ in range(E)]
+    x = Fp.from_int(spec, vals).mont  # (L, E, m, B)
+    for inv in (False, True):
+        tw = jnp.asarray(nt._leaf_twiddles_np(spec, m, inv))
+        got = limb_pallas.ntt_leaf_pallas(spec, x, tw, m, True)
+        want = nt._stockham_axis(spec, x, m, inv)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ntt_recursive_core_matches_single_level():
+    """Recursive four-step core (fused-leaf decomposition) vs one-level
+    Stockham at a size above _FOURSTEP_MIN_N, including batched lead dims."""
+    from myzkp_tpu.fields.fp import Fp
+    from myzkp_tpu.ops import ntt as nt
+
+    p = 3221225473
+    spec = FieldSpec.make(p)
+    rng = random.Random(42)
+    n = 1 << 14
+    a = Fp.from_int(spec, [rng.randrange(p) for _ in range(n)]).mont
+    for inv in (False, True):
+        got = nt._ntt_core_recursive(spec, a, inv)
+        want = nt._ntt_core_small(spec, a, inv)
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+    b = Fp.from_int(
+        spec, [[rng.randrange(p) for _ in range(n)] for _ in range(2)]).mont
+    assert np.array_equal(
+        np.asarray(nt._ntt_core_recursive(spec, b, False)),
+        np.asarray(nt._ntt_core_small(spec, b, False)))
