@@ -53,6 +53,33 @@ def test_kzg_degree_bound(setup_kzg):
 
 
 def test_gemini_fold_and_verify(setup_kzg):
+    # 2 fold levels: full commit/open/verify path at the smallest
+    # shape-diverse instance (each extra level adds ~100 s of XLA:CPU
+    # compiles; the 3-level variant runs as a slow test below)
+    pk, _, _, _ = setup_kzg
+    rng = random.Random(7)
+    spec = bn254.r_spec()
+    mcoefs = [rng.randrange(R) for _ in range(4)]
+    rhos = [rng.randrange(R) for _ in range(2)]
+    fs = gemini.split_and_fold(Fp.from_int(spec, mcoefs), rhos)
+    mu = 0
+    for idx in range(4):
+        term = mcoefs[idx]
+        for j in range(2):
+            if (idx >> j) & 1:
+                term = term * rhos[j] % R
+        mu = (mu + term) % R
+    assert int(fs[-1].coef.to_int()[0]) == mu
+    beta = rng.randrange(R)
+    assert gemini.debug_verify(rhos, mu, fs, beta)
+    cg = gemini.commit_gemini(fs, pk)
+    pi = gemini.open_gemini(fs, beta, pk)
+    assert gemini.verify_gemini(rhos, mu, beta, cg, pi, pk)
+    assert not gemini.verify_gemini(rhos, (mu + 1) % R, beta, cg, pi, pk)
+
+
+@pytest.mark.slow
+def test_gemini_fold_and_verify_3_levels(setup_kzg):
     pk, _, _, _ = setup_kzg
     rng = random.Random(7)
     spec = bn254.r_spec()
