@@ -433,9 +433,38 @@ def _geometric_mont_np(spec: FieldSpec, c: int, n: int) -> np.ndarray:
     return out
 
 
+# Above this size, build geometric series on device: a host-precomputed
+# (L, n) table becomes an HLO constant — at 2^21 that is ~134 MB of
+# literals, which crashes/overflows remote compiles (the round-3 QAP bench
+# HTTP 500).  The device build is ~n muls, negligible.
+_GEOMETRIC_DEVICE_MIN_N = 1 << 15
+
+
+def _const_mont(spec: FieldSpec, v: int):
+    """Montgomery (L, 1) constant from a host int (tiny HLO literal)."""
+    mv = spec.to_mont_int(v % spec.p)
+    return jnp.array([[(mv >> (16 * i)) & 0xFFFF] for i in range(spec.L)],
+                     dtype=jnp.uint32)
+
+
 def _geometric_mont(spec: FieldSpec, c: int, n: int):
-    """[1, c, c^2, ...] as Montgomery limb array (L, n), host-precomputed."""
-    return jnp.asarray(_geometric_mont_np(spec, c % spec.p, n))
+    """[1, c, c^2, ...] as Montgomery limb array (L, n).
+
+    Small n: host-precomputed table (constant-folded).  Large n: log-
+    doubling on device — g_{2k} = [g_k, g_k * c^k] — so the only HLO
+    constants are log2(n) single elements c^k.
+    """
+    c = c % spec.p
+    if n < _GEOMETRIC_DEVICE_MIN_N:
+        return jnp.asarray(_geometric_mont_np(spec, c, n))
+    g = limb.one_mont(spec, (1,))
+    k = 1
+    while k < n:
+        step = jnp.broadcast_to(_const_mont(spec, pow(c, k, spec.p)),
+                                g.shape)
+        g = jnp.concatenate([g, limb.mont_mul(spec, g, step)], axis=-1)
+        k *= 2
+    return g[:, :n]
 
 
 def geometric_series(spec: FieldSpec, c: int, n: int) -> Fp:

@@ -31,17 +31,40 @@ from ..fields.python_field import PyPoint
 from ..ops.poly import Poly
 
 
+# Batched-scalar-mul chunk: the 256-step double-and-add scan's XLA temp
+# buffers scale with batch width (~7.6 KB/point at buffer-assignment time —
+# a 6.3M-point one-shot setup program claimed 48 GB of 15.75 GB HBM and
+# killed the compile).  2^18-point chunks keep temps ~2 GB and compile once
+# (all chunks share one shape).
+_G_MULTI_CHUNK = 1 << 18
+
+
 def _g_multi(which: str, scalars_std) -> wst.Point:
     """[x_i]G for a standard-domain limb scalar batch (L, n), batched."""
     n = scalars_std.shape[1]
     if which == "g1":
         F, b3 = bn254.g1_ops(), bn254.g1_b3(())
-        g = bn254.g1_points_to_device([bn254.g1_generator()] * n)
+        gen = bn254.g1_generator()
+        to_dev = bn254.g1_points_to_device
     else:
         F, b3 = bn254.g2_ops(), bn254.g2_b3(())
-        g = bn254.g2_points_to_device([bn254.g2_generator()] * n)
-    bits = _msm.scalar_bits(scalars_std)
-    return wst.scalar_mul_bits(F, b3, g, bits)
+        gen = bn254.g2_generator()
+        to_dev = bn254.g2_points_to_device
+    if n <= _G_MULTI_CHUNK:
+        bits = _msm.scalar_bits(scalars_std)
+        return wst.scalar_mul_bits(F, b3, to_dev([gen] * n), bits)
+    c = _G_MULTI_CHUNK
+    n_pad = ((n + c - 1) // c) * c
+    if n_pad != n:  # pad with zero scalars ([0]G = inf, sliced off below)
+        scalars_std = jnp.pad(scalars_std, ((0, 0), (0, n_pad - n)))
+    base = to_dev([gen] * c)
+    outs = []
+    for off in range(0, n_pad, c):
+        bits = _msm.scalar_bits(scalars_std[:, off : off + c])
+        outs.append(wst.scalar_mul_bits(F, b3, base, bits))
+    cat = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *outs)
+    return jax.tree_util.tree_map(lambda a: a[:, :n], cat)
 
 
 def _std(x: Fp):
@@ -204,7 +227,24 @@ def _geometric(s: int, n: int, mod: int) -> list:
 
 
 def _msm_g1(points: wst.Point, scalars_std) -> wst.Point:
-    return _msm.msm(bn254.g1_ops(), bn254.g1_b3(()), points, scalars_std)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    n = scalars_std.shape[1]
+    pot = 1 << (n.bit_length() - 1)
+    if n != pot and n - pot <= 64:
+        # split a power-of-two-plus-tail MSM (the (m+1)-long [s^j]G batch of
+        # the h commitment): the big half reuses the exact Pippenger
+        # program already compiled for the d = 2^k witness MSMs instead of
+        # compiling a third full shape-set, and the tiny tail runs naive
+        head = _msm.msm(F, b3, _slice_pts(points, 0, pot),
+                        scalars_std[:, :pot])
+        tail = _msm.msm_naive(F, b3, _slice_pts(points, pot, n),
+                              scalars_std[:, pot:])
+        return wst.padd(F, b3, head, tail)
+    return _msm.msm(F, b3, points, scalars_std)
+
+
+def _slice_pts(points: wst.Point, lo: int, hi: int) -> wst.Point:
+    return jax.tree_util.tree_map(lambda a: a[:, lo:hi], points)
 
 
 def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:

@@ -102,3 +102,26 @@ def test_groth16_end_to_end(r1cs):
     # wrong (private) witness rejects
     bad = g16.prove(Fp.from_int(spec, WRONG), pk, qap, rng=rng)
     assert not g16.verify(bad, vk, WRONG[:2])
+
+
+def test_msm_g1_pow2_tail_split():
+    """_msm_g1 splits power-of-two-plus-tail batches (the h-commitment
+    shape) into a 2^k Pippenger + naive tail; result must match the host."""
+    import random as _r
+
+    from myzkp_tpu.curves import msm as _msm, weierstrass as wst
+    from myzkp_tpu.snark.pinocchio import _msm_g1
+
+    rng = _r.Random(77)
+    n = 513  # 2^9 + 1: exercises the split path
+    g = bn254.g1_generator()
+    ms = [rng.randrange(1, bn254.R) for _ in range(n)]
+    ks = [rng.randrange(0, bn254.R) for _ in range(n)]
+    pts = bn254.g1_points_to_device([g * m for m in ms])
+    got = _msm_g1(pts, _msm.scalars_from_int(bn254.r_spec(), ks))
+    import jax
+
+    host = bn254.g1_points_to_host(
+        jax.tree_util.tree_map(lambda a: a[:, None], got))[0]
+    exp = g * (sum(k * m for k, m in zip(ks, ms)) % bn254.R)
+    assert host == exp
