@@ -129,6 +129,23 @@ def bench_bitchecks(extra):
             lambda x: nttmod._stockham_axis(rspec, x, m, False))(x4))
         os.environ["MYZKP_PALLAS"] = "1"
         ok_leaf = bool((gl == wl).all())
+
+        # fused G2 (Fq2-coordinate) complete add vs pure-JAX golden — the
+        # G2 interpret tests are CI-slow-marked, so the lowering is pinned
+        # here on the real chip instead
+        from myzkp_tpu.curves import bn254, weierstrass as wst
+
+        F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+        g2gen = bn254.g2_generator()
+        pa = bn254.g2_points_to_device([g2gen * (3 + i) for i in range(8)])
+        pb = bn254.g2_points_to_device([g2gen * (11 + i) for i in range(8)])
+        def g2add(): return wst.padd(F2, b32, pa, pb)
+        got2 = jax.tree_util.tree_leaves(g2add())
+        os.environ["MYZKP_PALLAS"] = "0"
+        want2 = jax.tree_util.tree_leaves(g2add())
+        os.environ["MYZKP_PALLAS"] = "1"
+        ok_g2 = all(bool((np.asarray(g) == np.asarray(w)).all())
+                    for g, w in zip(got2, want2))
     finally:
         if prev_pallas is None:
             os.environ.pop("MYZKP_PALLAS", None)
@@ -137,11 +154,12 @@ def bench_bitchecks(extra):
     extra["bitcheck_mont_mul"] = ok_mul
     extra["bitcheck_butterfly"] = ok_bf
     extra["bitcheck_ntt_leaf"] = ok_leaf
-    if not (ok_mul and ok_bf and ok_leaf):
+    extra["bitcheck_g2_padd"] = ok_g2
+    if not (ok_mul and ok_bf and ok_leaf and ok_g2):
         print(json.dumps({"metric": "BITCHECK_FAILED", "value": 0,
                           "unit": "", "vs_baseline": 0, "extra": extra}))
         sys.exit(1)
-    print("# bitchecks OK (mont_mul, butterfly @ 2^14, ntt_leaf @ 128x128)",
+    print("# bitchecks OK (mont_mul, butterfly @ 2^14, ntt_leaf @ 128x128, g2 padd)",
           file=sys.stderr)
 
 

@@ -21,9 +21,15 @@ import jax  # noqa: E402
 # through one device and racing any concurrent benchmark.
 jax.config.update("jax_platforms", "cpu")
 
-# NOTE: no persistent compilation cache here — jaxlib 0.9.0 segfaults
-# deserializing cached CPU executables compiled under
-# --xla_force_host_platform_device_count (reproducible on cache *hit*).
+# Persistent compilation cache: the suite is XLA:CPU-compile-bound (a full
+# cold run is ~45 min serial; warm re-runs measure ~2.1-2.6x faster).  An
+# earlier jaxlib segfault on CPU-executable cache hits under
+# --xla_force_host_platform_device_count no longer reproduces (stress-
+# tested: mesh-heavy + pallas-interpret files, two full passes).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("MYZKP_TEST_CACHE", "/tmp/jax_myzkp_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import pytest  # noqa: E402
 

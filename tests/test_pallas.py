@@ -45,6 +45,7 @@ def test_mont_mul_pallas_multidim_batch():
     assert np.array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.slow  # ~221s interpret-mode; Mosaic lowering is bit-checked on-chip each bench run
 def test_fused_padd_pdbl_matches_golden():
     import jax.numpy as jnp
 
@@ -140,6 +141,7 @@ def test_fused_padd_mixed_matches_golden():
         assert np.array_equal(np.asarray(g_), np.asarray(r_))
 
 
+@pytest.mark.slow  # ~272s interpret-mode; Mosaic lowering is bit-checked on-chip each bench run
 def test_fused_padd_mixed_g2_matches_golden():
     import jax.numpy as jnp
 
@@ -169,6 +171,7 @@ def test_fused_padd_mixed_g2_matches_golden():
         assert np.array_equal(np.asarray(g_), np.asarray(r_))
 
 
+@pytest.mark.slow  # ~200s interpret-mode; Mosaic lowering is bit-checked on-chip each bench run
 def test_fused_padd_g2_matches_golden():
     from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
 

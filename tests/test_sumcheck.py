@@ -98,7 +98,8 @@ def test_eval_table_sizes():
 # (parity: examples/sumcheck/src/main.rs:63-87)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("num_vars", [3, 6])
+@pytest.mark.parametrize("num_vars", [
+    3, pytest.param(6, marks=pytest.mark.slow)])
 def test_product_sumcheck_parity_and_verify(num_vars):
     rng = random.Random(45)
     factors = [_random_multilinear(rng, num_vars) for _ in range(3)]
