@@ -263,12 +263,13 @@ def bench_msm(extra):
     return pps, host_pps
 
 
-def bench_qap(extra):
-    """End-to-end Pinocchio prove at 2^QAP_LOG constraints (north star)."""
+def bench_qap(extra, qap_log=None):
+    """End-to-end Pinocchio prove at 2^qap_log constraints (north star)."""
     from myzkp_tpu.arith.sparse import SparseQAP, square_chain
     from myzkp_tpu.curves import bn254
     from myzkp_tpu.snark import pinocchio
 
+    QAP_LOG = qap_log if qap_log is not None else globals()["QAP_LOG"]
     spec = bn254.r_spec()
     rng = random.Random(42)
     m = 1 << QAP_LOG
@@ -313,6 +314,12 @@ def main():
             bench_qap(extra)
         except Exception as e:  # keep the headline metric on qap failure
             extra["qap_error"] = f"{type(e).__name__}: {e}"[:200]
+            if QAP_LOG > 16:
+                # fall back so SOME end-to-end prove number lands
+                try:
+                    bench_qap(extra, qap_log=16)
+                except Exception as e2:
+                    extra["qap16_error"] = f"{type(e2).__name__}: {e2}"[:200]
     extra["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps({
         "metric": f"bn254_g1_msm_pippenger_2^{LOG_N}",
