@@ -30,7 +30,39 @@ from ..fields.tile_ops import TileFp, TileFq2
 _S = 8  # sublane rows per batch tile
 
 
+# Trace-time fusion override (see no_fuse): >0 routes group ops through the
+# pure-JAX limb path even on TPU.
+_no_fuse_depth = 0
+
+
+def no_fuse():
+    """Context manager: route curve ops traced inside it through the
+    pure-JAX path instead of the fused Pallas kernels.
+
+    Why it exists: Mosaic lowering of the big fused kernels is expensive
+    per DISTINCT call shape (the Fq2 complete add is a ~25k-op jaxpr that
+    lowers in minutes).  Shape-diverse regions — e.g. the log-depth
+    associative-scan levels of the G2 MSM's segmented bucket sum — would
+    otherwise trigger a dozen such lowerings and stall first-compile for
+    the better part of an hour, for ops that execute in microseconds.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _no_fuse_depth
+        _no_fuse_depth += 1
+        try:
+            yield
+        finally:
+            _no_fuse_depth -= 1
+
+    return _cm()
+
+
 def enabled() -> bool:
+    if _no_fuse_depth > 0:
+        return False
     if os.environ.get("MYZKP_PALLAS", "1") == "0":
         return False
     try:

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..fields import limb
 from ..fields.spec import FieldSpec
-from . import weierstrass as wst
+from . import curve_pallas, weierstrass as wst
 from .weierstrass import Point
 
 
@@ -158,6 +158,26 @@ def default_window(n: int, signed: bool = True) -> int:
     return best_c
 
 
+def _shape_diverse_ctx(F):
+    """no_fuse() for Fq2 in the MSM's shape-diverse regions (the log-depth
+    segmented-sum levels and bucket-sum recursion), else a null context.
+
+    Each DISTINCT call shape of the fused Fq2 complete-add kernel costs
+    minutes of Mosaic lowering at first compile; a dozen level shapes
+    stalled the 2^20 G2 MSM's first compile for ~45 min.  The pure-JAX
+    path lowers fast, and these regions are a small slice of runtime (the
+    wide one-shape K-step scan stays fused).  G1's Fp kernel lowers ~5x
+    faster, so G1 keeps the fused path everywhere.
+    """
+    import contextlib
+
+    from .field_ops import Fq2Ops
+
+    if isinstance(F, Fq2Ops):
+        return curve_pallas.no_fuse()
+    return contextlib.nullcontext()
+
+
 def _point_map(f, *pts):
     return jax.tree_util.tree_map(f, *pts)
 
@@ -275,13 +295,15 @@ def _bucket_accumulate(F, b3, q: Point, d_sorted, num_buckets: int,
         return tuple(v) + (f1 | f2,)
 
     leaves = tuple(acc) + (seg_head.astype(jnp.uint32),)
-    scanned = jax.lax.associative_scan(comb, leaves, axis=2)
+    with _shape_diverse_ctx(F):  # log-depth levels: one kernel shape each
+        scanned = jax.lax.associative_scan(comb, leaves, axis=2)
     seg_total = Point(*scanned[:-1])
     is_end = jnp.concatenate(
         [d_end[:, :-1] != d_end[:, 1:], jnp.ones((G, 1), bool)], axis=-1)
     tgt = dummy_tgt(d_end, is_end).reshape(-1)  # (G*B,)
     cur = _point_of_rows(jnp.take(bk_rows, tgt, axis=0), treedef, C, (G, B))
-    merged = wst.padd(F, b3, Point(*cur), seg_total)
+    with _shape_diverse_ctx(F):
+        merged = wst.padd(F, b3, Point(*cur), seg_total)
     merged_rows, _, _ = _rows_of_point(
         _point_map(lambda a: a.reshape(a.shape[0], -1), merged),
         lanes=bk_rows.shape[1])
@@ -460,17 +482,18 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         lambda a: jnp.moveaxis(a, 1, 0).reshape(
             a.shape[1], W_pad, num_buckets),
         Point(*group_buckets))
-    if signed:
-        # magnitudes span [0, half]; the power-of-two-sized weighted sum
-        # covers [1, half-1] and the top bucket contributes half * B_half
-        main = _point_map(lambda a: a[..., :half], buckets)
-        top = _point_map(lambda a: a[..., half], buckets)
-        s_w = _weighted_bucket_sum(F, b3, main, c - 1)
-        for _ in range(c - 1):
-            top = wst.pdbl(F, b3, top)
-        s_w = wst.padd(F, b3, s_w, top)
-    else:
-        s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (W_pad,) batch
+    with _shape_diverse_ctx(F):  # bucket-sum recursion: many narrow shapes
+        if signed:
+            # magnitudes span [0, half]; the power-of-two-sized weighted
+            # sum covers [1, half-1], the top bucket adds half * B_half
+            main = _point_map(lambda a: a[..., :half], buckets)
+            top = _point_map(lambda a: a[..., half], buckets)
+            s_w = _weighted_bucket_sum(F, b3, main, c - 1)
+            for _ in range(c - 1):
+                top = wst.pdbl(F, b3, top)
+            s_w = wst.padd(F, b3, s_w, top)
+        else:
+            s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (W_pad,) batch
     # leaves (L, W_pad) -> (W_pad, L) so the Horner scan walks windows
     window_sums = _point_map(lambda a: a.T, s_w)
     # combine MSB window first: res = sum_w 2^{c w} S_w (Horner)
