@@ -17,6 +17,7 @@ NTT/coset pipeline.  Only the verifier's 12 pairings run host-side.
 
 from __future__ import annotations
 
+import functools
 import random as _random
 from dataclasses import dataclass
 
@@ -226,6 +227,33 @@ def _geometric(s: int, n: int, mod: int) -> list:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_msm(which: str, method: str):
+    """One jitted program per (group, method): a 2^20 eager Pippenger pays
+    ~40 s of per-op relay dispatch overhead per call (vs <1 s jitted) and
+    its hundreds of op-compiles bypass the persistent compilation cache;
+    as a single jit the MSM is one cached executable.  Inputs are
+    ARGUMENTS (never closure constants — huge literals overflow remote
+    compiles, see bench.py:_chain_time)."""
+    if which == "g1":
+        F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    else:
+        F, b3 = bn254.g2_ops(), bn254.g2_b3(())
+
+    @jax.jit
+    def run(px, py, pz, sl):
+        return tuple(_msm.msm(F, b3, wst.Point(px, py, pz), sl,
+                              method=method))
+
+    return run
+
+
+def _msm_point(which: str, points: wst.Point, scalars_std,
+               method: str = "pippenger") -> wst.Point:
+    return wst.Point(*_jitted_msm(which, method)(
+        points.x, points.y, points.z, scalars_std))
+
+
 def _msm_g1(points: wst.Point, scalars_std) -> wst.Point:
     F, b3 = bn254.g1_ops(), bn254.g1_b3(())
     n = scalars_std.shape[1]
@@ -235,12 +263,12 @@ def _msm_g1(points: wst.Point, scalars_std) -> wst.Point:
         # the h commitment): the big half reuses the exact Pippenger
         # program already compiled for the d = 2^k witness MSMs instead of
         # compiling a third full shape-set, and the tiny tail runs naive
-        head = _msm.msm(F, b3, _slice_pts(points, 0, pot),
-                        scalars_std[:, :pot])
+        head = _msm_point("g1", _slice_pts(points, 0, pot),
+                          scalars_std[:, :pot])
         tail = _msm.msm_naive(F, b3, _slice_pts(points, pot, n),
                               scalars_std[:, pot:])
         return wst.padd(F, b3, head, tail)
-    return _msm.msm(F, b3, points, scalars_std)
+    return _msm_point("g1", points, scalars_std)
 
 
 def _slice_pts(points: wst.Point, lo: int, hi: int) -> wst.Point:
@@ -248,7 +276,10 @@ def _slice_pts(points: wst.Point, lo: int, hi: int) -> wst.Point:
 
 
 def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
-    return _msm.msm(bn254.g2_ops(), bn254.g2_b3(()), points, scalars_std)
+    if scalars_std.shape[1] < _msm._PIPPENGER_MIN_N:
+        return _msm.msm_naive(bn254.g2_ops(), bn254.g2_b3(()), points,
+                              scalars_std)
+    return _msm_point("g2", points, scalars_std)
 
 
 def _single(pt_batch: wst.Point) -> wst.Point:
