@@ -291,9 +291,66 @@ def _add1(F, b3, a: wst.Point, b: wst.Point) -> wst.Point:
     return wst.padd(F, b3, a, b)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_shifted_h_rou(spec, m: int):
+    """One jitted program for the whole shifted-h pipeline over the rou
+    domain (t = X^m - 1): 3 INTTs, 3 coset LDEs, the pointwise division,
+    the coset interpolation, and the delta-shift terms.  The eager version
+    paid ~143 s of dispatch overhead, recomputed combine() twice, and
+    built 2^21-long host coefficient lists (tens of host seconds plus a
+    67 MB transfer) for t's coset values and the t polynomial — here t's
+    coset values are a tiled 2-element constant and t * (d_ell d_r) is two
+    coefficient corrections."""
+    from ..ops import ntt as _ntt
+
+    p = spec.p
+    g = _ntt.nth_root_of_unity(p, 4 * m)
+    n = 2 * m
+    gm = pow(g, m, p)
+    te, to = (gm - 1) % p, (p - gm - 1) % p
+
+    @jax.jit
+    def run(u, v, w, dr, dell, drdl, do_):
+        # u/v/w: (L, m) Montgomery constraint evaluations;
+        # dr/dell/drdl/do_: (L,) Montgomery delta scalars
+        ell = Poly(_ntt.intt(Fp(spec, u)))
+        r = Poly(_ntt.intt(Fp(spec, v)))
+        o = Poly(_ntt.intt(Fp(spec, w)))
+        lc = _ntt.coset_evaluate(ell.coef, g, n)
+        rc = _ntt.coset_evaluate(r.coef, g, n)
+        oc = _ntt.coset_evaluate(o.coef, g, n)
+        num = lc * rc - oc
+        t_pair = Fp.from_int(spec, [te, to])
+        t_c = Fp(spec, jnp.tile(t_pair.mont, (1, m)))
+        h_c = num * t_c.batch_inv(axis=-1)
+        h = _ntt.coset_interpolate(h_c, g)
+        n1 = m + 1
+        res = (
+            Poly(Fp(spec, h.mont[..., :n1]))
+            + ell.scale_const(Fp(spec, dr)).pad_to(n1)
+            + r.scale_const(Fp(spec, dell)).pad_to(n1)
+        )
+        # + (X^m - 1) * (d_ell d_r) - d_o  ==  -drdl - do_ at coeff 0,
+        # +drdl at coeff m
+        corr = jnp.zeros((spec.L, n1), jnp.uint32)
+        corr = corr.at[:, 0].set(limb.neg(spec, limb.add(spec, drdl, do_)))
+        corr = corr.at[:, m].set(drdl)
+        return (res + Poly(Fp(spec, corr))).coef.mont
+
+    return run
+
+
 def get_shifted_h(qap: QAP, assignment: Fp, d_ell: int, d_r: int, d_o: int) -> Poly:
     """Parity: pinocchio.rs:138-153."""
     spec = qap.spec
+    if hasattr(qap, "r1cs") and hasattr(qap.r1cs, "matvecs"):
+        # SparseQAP over the rou domain: fused jitted pipeline
+        u, v, w = qap.r1cs.matvecs(assignment)
+        mk = lambda x: Fp.from_int(spec, x % spec.p).mont
+        res = _jitted_shifted_h_rou(spec, qap.m)(
+            u.mont, v.mont, w.mont, mk(d_r), mk(d_ell),
+            mk(d_ell * d_r), mk(d_o))
+        return Poly(Fp(spec, res))
     h = qap.h_poly(assignment)  # (<= m+1 coeffs)
     ell, r, o = qap.combine(assignment)
     n = qap.m + 1

@@ -144,3 +144,23 @@ def test_poly_scale_and_pow():
     sq = pa ** 2
     want = [1, 4, 10, 12, 9]
     assert list(sq.to_int())[:5] == want
+
+
+def test_geometric_series_device_path_matches_host():
+    """Above _GEOMETRIC_DEVICE_MIN_N the series is built on device by
+    log-doubling (host tables become 100+ MB HLO constants at 2^21 —
+    the round-3 QAP bench HTTP 500); both paths must agree bit-for-bit."""
+    import numpy as np
+
+    from myzkp_tpu.fields.spec import FieldSpec
+    from myzkp_tpu.ops import ntt as nt
+
+    spec = FieldSpec.make(3221225473)
+    n = nt._GEOMETRIC_DEVICE_MIN_N  # device path
+    c = 12345
+    got = np.asarray(nt._geometric_mont(spec, c, n))
+    want = nt._geometric_mont_np(spec, c, n)
+    assert np.array_equal(got, want)
+    # non-power-of-two length slices correctly
+    got2 = np.asarray(nt._geometric_mont(spec, c, n + 3))
+    assert np.array_equal(got2[:, : n], want)
