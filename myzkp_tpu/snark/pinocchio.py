@@ -276,9 +276,26 @@ def _slice_pts(points: wst.Point, lo: int, hi: int) -> wst.Point:
 
 
 def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
-    if scalars_std.shape[1] < _msm._PIPPENGER_MIN_N:
-        return _msm.msm_naive(bn254.g2_ops(), bn254.g2_b3(()), points,
-                              scalars_std)
+    import os
+
+    F, b3 = bn254.g2_ops(), bn254.g2_b3(())
+    n = scalars_std.shape[1]
+    if n < _msm._PIPPENGER_MIN_N:
+        return _msm.msm_naive(F, b3, points, scalars_std)
+    if os.environ.get("MYZKP_G2_MSM", "pippenger") == "naive":
+        # chunked jitted double-and-add: ~6x slower at runtime than
+        # Pippenger but compiles in minutes (the jitted G2 Pippenger
+        # program's remote compile can take the better part of an hour
+        # cold) and reuses the setup chunks' cached shapes
+        c = _G_MULTI_CHUNK
+        acc = None
+        for off in range(0, n, c):
+            hi = min(off + c, n)
+            sub = _slice_pts(points, off, hi)
+            part = wst.Point(*_jitted_msm("g2", "naive")(
+                sub.x, sub.y, sub.z, scalars_std[:, off:hi]))
+            acc = part if acc is None else wst.padd(F, b3, acc, part)
+        return acc
     return _msm_point("g2", points, scalars_std)
 
 
