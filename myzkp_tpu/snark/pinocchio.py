@@ -250,6 +250,14 @@ def _jitted_msm(which: str, method: str):
 
 def _msm_point(which: str, points: wst.Point, scalars_std,
                method: str = "pippenger") -> wst.Point:
+    import os
+
+    if os.environ.get("MYZKP_PROVE_MSM") == "eager":
+        # escape hatch: eager dispatch (slow per call, but compiles op by
+        # op — useful when a monolithic jitted MSM's remote compile stalls)
+        F, b3 = ((bn254.g1_ops(), bn254.g1_b3(())) if which == "g1"
+                 else (bn254.g2_ops(), bn254.g2_b3(())))
+        return _msm.msm(F, b3, points, scalars_std, method=method)
     return wst.Point(*_jitted_msm(which, method)(
         points.x, points.y, points.z, scalars_std))
 
@@ -282,11 +290,13 @@ def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
     n = scalars_std.shape[1]
     if n < _msm._PIPPENGER_MIN_N:
         return _msm.msm_naive(F, b3, points, scalars_std)
-    if os.environ.get("MYZKP_G2_MSM", "pippenger") == "naive":
-        # chunked jitted double-and-add: ~6x slower at runtime than
-        # Pippenger but compiles in minutes (the jitted G2 Pippenger
-        # program's remote compile can take the better part of an hour
-        # cold) and reuses the setup chunks' cached shapes
+    if os.environ.get("MYZKP_G2_MSM", "naive") == "naive":
+        # chunked jitted double-and-add — the DEFAULT for G2: ~6x slower
+        # at runtime than Pippenger but compiles in minutes, while the
+        # jitted G2 Pippenger's remote compile measured 55+ min without
+        # completing (Fq2 kernel lowering + program size).  Set
+        # MYZKP_G2_MSM=pippenger to opt back in (e.g. once its compile is
+        # warm in the cache).
         c = _G_MULTI_CHUNK
         acc = None
         for off in range(0, n, c):
