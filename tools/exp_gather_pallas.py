@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RB = 256   # rows per grid block
+RB = 1024  # rows per grid block (1D SMEM blocks must align to 1024)
 DEPTH = 8  # DMAs in flight
 
 
@@ -37,11 +37,12 @@ def gather_pallas(table, idx, interpret=False):
     assert N % RB == 0
 
     def kernel(idx_ref, tbl_ref, out_ref, sems):
-        i = pl.program_id(0)
-
+        # idx_ref: this block's (RB,) indices in SMEM (blocked input — the
+        # full index array at 2^20 would overflow the 1 MB SMEM if
+        # scalar-prefetched whole)
         def dma(r):
             return pltpu.make_async_copy(
-                tbl_ref.at[idx_ref[i * RB + r]],
+                tbl_ref.at[idx_ref[r]],
                 out_ref.at[r],
                 sems.at[r % DEPTH],
             )
@@ -53,17 +54,16 @@ def gather_pallas(table, idx, interpret=False):
                 dma(r + DEPTH).start()
             dma(r).wait()
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(N // RB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((RB, Cw), lambda i, idx_ref: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
-    )
     return pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(N // RB,),
+        in_specs=[
+            pl.BlockSpec((RB,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((RB, Cw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
         out_shape=jax.ShapeDtypeStruct((N, Cw), jnp.uint32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -98,7 +98,7 @@ def chain_time(fn, args, n_long=8, n_short=1):
 def main():
     # correctness (interpret on CPU or small case on TPU)
     rng = np.random.default_rng(0)
-    Nt, Cw, N = 4096, 64, 4096
+    Nt, Cw, N = 4096, 128, 4096
     tbl = rng.integers(0, 2**32, size=(Nt, Cw), dtype=np.uint32)
     idx = rng.integers(0, Nt, size=(N,), dtype=np.int32)
     interp = jax.default_backend() != "tpu"
