@@ -112,3 +112,25 @@ def test_sparse_pinocchio_end_to_end():
                       + [12345])
     proof_bad = pinocchio.prove(bad, pk, qap, rng=rng)
     assert not pinocchio.verify(proof_bad, vk)
+
+
+def test_groth16_on_sparse_qap():
+    """Groth16 consumes the SparseQAP duck interface (eval_all_at/combine/
+    h_poly) — the same path that proves at 2^20; pinned here at m=8."""
+    import random
+
+    from myzkp_tpu.arith.sparse import SparseQAP, square_chain
+    from myzkp_tpu.curves import bn254
+    from myzkp_tpu.snark import groth16
+
+    spec = bn254.r_spec()
+    r1cs, assignment = square_chain(spec, 8)
+    qap = SparseQAP(r1cs)
+    rng = random.Random(21)
+    pk, vk = groth16.setup(qap, num_public=2, rng=rng)
+    proof = groth16.prove(assignment, pk, qap, rng=rng)
+    public = [int(v) for v in assignment.to_int()[:2]]
+    assert groth16.verify(proof, vk, public)
+    bad = list(public)
+    bad[1] = (bad[1] + 1) % bn254.R
+    assert not groth16.verify(proof, vk, bad)
