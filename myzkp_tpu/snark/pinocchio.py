@@ -290,13 +290,13 @@ def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
     n = scalars_std.shape[1]
     if n < _msm._PIPPENGER_MIN_N:
         return _msm.msm_naive(F, b3, points, scalars_std)
-    if os.environ.get("MYZKP_G2_MSM", "naive") == "naive":
-        # chunked jitted double-and-add — the DEFAULT for G2: ~6x slower
-        # at runtime than Pippenger but compiles in minutes, while the
-        # jitted G2 Pippenger's remote compile measured 55+ min without
-        # completing (Fq2 kernel lowering + program size).  Set
-        # MYZKP_G2_MSM=pippenger to opt back in (e.g. once its compile is
-        # warm in the cache).
+    if os.environ.get("MYZKP_G2_MSM", "pippenger") == "naive":
+        # chunked jitted double-and-add fallback: ~3.5x slower at runtime
+        # than Pippenger (12.9 s vs 3.7 s per 2^20 MSM) but its cold
+        # compile is bounded at ~6 min, while the jitted G2 Pippenger's
+        # cold remote compile measured 36 min (then 194 s per fresh
+        # process against the warm compile cache).  Set MYZKP_G2_MSM=naive
+        # on a cold cache if compile latency matters more than prove time.
         c = _G_MULTI_CHUNK
         acc = None
         for off in range(0, n, c):
