@@ -290,6 +290,15 @@ def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
     n = scalars_std.shape[1]
     if n < _msm._PIPPENGER_MIN_N:
         return _msm.msm_naive(F, b3, points, scalars_std)
+    pot = 1 << (n.bit_length() - 1)
+    if n != pot and n - pot <= 64:
+        # same power-of-two-plus-tail split as _msm_g1: the witness MSMs
+        # run at d = 2^k + 2, and without the split each distinct tail
+        # length would recompile the whole (36-min cold) G2 program
+        head = _msm_g2(_slice_pts(points, 0, pot), scalars_std[:, :pot])
+        tail = _msm.msm_naive(F, b3, _slice_pts(points, pot, n),
+                              scalars_std[:, pot:])
+        return wst.padd(F, b3, head, tail)
     if os.environ.get("MYZKP_G2_MSM", "pippenger") == "naive":
         # chunked jitted double-and-add fallback: ~3.5x slower at runtime
         # than Pippenger (12.9 s vs 3.7 s per 2^20 MSM) but its cold
