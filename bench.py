@@ -6,13 +6,23 @@ The headline metric is BN254 G1 Pippenger MSM points/s at N = 2^BENCH_MSM_LOG
 (mont_mul muls/s, NTT transform time, QAP end-to-end prove seconds) plus the
 on-device bit-check verdicts.
 
+Timeout-proofing (the round-1..3 failure mode was a driver timeout eating
+the JSON): the top-level process is a thin orchestrator that runs NO JAX —
+it launches each phase group as a subprocess with a budgeted timeout, merges
+the phase's incrementally-written progress file, and ALWAYS emits the final
+JSON: on phase timeout, on SIGTERM/SIGINT from an external watchdog, or on
+its own SIGALRM at BENCH_BUDGET_S (default 2700 s).  A hung remote compile
+can only ever cost its own phase, never the output line.  Expensive
+artifacts persist across runs in BENCH_KEYS (default /tmp/myzkp_bench_keys):
+the Pinocchio proving key (setup runs once per host per code version) and
+the 2^20 MSM point table.
+
 Timing methodology (docs/speed_of_light.md): this chip is reached through a
 relay where dispatch is acknowledged before execution and
 ``jax.block_until_ready`` does not block, so every measurement here either
 (a) chain-differences two on-device ``fori_loop`` repeat counts with a
 scalar host fetch after each, or (b) wall-times a call whose return value is
-host data (forcing execution).  Round-1 numbers were taken the naive way and
-under-reported throughput ~3x; do not compare against them.
+host data (forcing execution).
 
 ``vs_baseline`` is the measured speedup over the reference's only MSM
 algorithm — per-coefficient affine double-and-add on host BigInts
@@ -22,31 +32,208 @@ publishes no numbers, BASELINE.md).
 """
 
 import functools
+import hashlib
 import json
 import os
 import random
+import signal
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-import numpy as np
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 LOG_N = int(os.environ.get("BENCH_MSM_LOG", 20))
 QAP_LOG = int(os.environ.get("BENCH_QAP_LOG", 20))
 NTT_LOG = int(os.environ.get("BENCH_NTT_LOG", 20))
 SKIP = set(os.environ.get("BENCH_SKIP", "").split(","))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+KEYS_DIR = os.environ.get("BENCH_KEYS", "/tmp/myzkp_bench_keys")
 
-# Compile cache: Pippenger/SNARK programs take minutes to compile; repeated
-# bench runs on the same host reuse the cache.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+T0 = time.perf_counter()
+
+
+def _code_hash(*relpaths) -> str:
+    """Version salt for cached artifacts: stale caches from older code
+    versions must miss, not poison a run."""
+    h = hashlib.md5()
+    for rp in relpaths:
+        try:
+            with open(os.path.join(_REPO, rp), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rp.encode())
+    return h.hexdigest()[:10]
+
+
+# ===========================================================================
+# Parent orchestrator
+# ===========================================================================
+
+STATE = {
+    "emitted": False,
+    "pps": 0.0,
+    "host_pps": 0.0,
+    "extra": {"methodology": "chain-diff+fetch (docs/speed_of_light.md)"},
+}
+
+
+def _emit(tag=None):
+    if STATE["emitted"]:
+        return
+    STATE["emitted"] = True
+    extra = STATE["extra"]
+    extra["bench_wall_s"] = round(time.perf_counter() - T0, 1)
+    if tag:
+        extra["bench_exit"] = tag
+    metric = f"bn254_g1_msm_pippenger_2^{LOG_N}"
+    if extra.pop("_bitcheck_failed", None):
+        metric = "BITCHECK_FAILED"
+    if extra.pop("_msm_golden_failed", None):
+        metric = "MSM_GOLDEN_FAILED"
+    pps = STATE["pps"] or 0.0
+    host = STATE["host_pps"] or 0.0
+    print(json.dumps({
+        "metric": metric,
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / host, 2) if (pps and host) else 0,
+        "extra": extra,
+    }), flush=True)
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T0)
+
+
+def _merge_progress(path):
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return
+    for k, v in data.items():
+        if k == "_pps":
+            STATE["pps"] = v
+        elif k == "_host_pps":
+            STATE["host_pps"] = v
+        else:
+            STATE["extra"][k] = v
+
+
+def _run_phase(phases: str, timeout: float) -> None:
+    """Launch ``python bench.py --child <phases> <progress>`` in its own
+    session; merge whatever it managed to write, however it ends."""
+    os.makedirs(KEYS_DIR, exist_ok=True)
+    progress = os.path.join(KEYS_DIR, f"progress_{phases}_{os.getpid()}.json")
+    _LIVE_PROGRESS.append(progress)
+    try:
+        os.unlink(progress)
+    except OSError:
+        pass
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", phases,
+         progress, f"{max(30.0, timeout - 15):.0f}"],
+        start_new_session=True)
+    _CHILD_PGIDS.add(proc.pid)
+    try:
+        rc = proc.wait(timeout=timeout)
+        if rc != 0:
+            STATE["extra"][f"phase_{phases}_rc"] = rc
+    except subprocess.TimeoutExpired:
+        STATE["extra"][f"phase_{phases}_timeout_s"] = round(timeout, 1)
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+            proc.wait(timeout=20)
+        except (subprocess.TimeoutExpired, OSError, ProcessLookupError):
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (OSError, ProcessLookupError):
+                pass
+            proc.wait()
+    finally:
+        _merge_progress(progress)
+        try:
+            os.unlink(progress)
+        except OSError:
+            pass
+
+
+def main():
+    def handler(signum, frame):
+        # emit with whatever has landed, then hard-exit: a timeout or
+        # watchdog kill must never again produce parsed=null
+        try:
+            for pgid in _CHILD_PGIDS:
+                try:
+                    os.killpg(pgid, signal.SIGKILL)
+                except (OSError, ProcessLookupError):
+                    pass
+            for p in _LIVE_PROGRESS:  # salvage the in-flight child's results
+                _merge_progress(p)
+        finally:
+            _emit(f"signal_{signum}")
+            os._exit(0)
+
+    for s in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM):
+        signal.signal(s, handler)
+    signal.alarm(max(1, int(BUDGET_S)))
+
+    # Phase group 1: bitchecks + mont_mul + NTT (light; all programs cached
+    # from prior runs in the steady state).
+    if not {"bitcheck", "mont_mul", "ntt"} <= SKIP:
+        _run_phase("light", max(60.0, min(_remaining() - 90, 1500)))
+    if STATE["extra"].get("_bitcheck_failed"):
+        _emit("bitcheck_failed")
+        return
+    # Phase group 2: MSM headline + QAP end-to-end (heavy; shares one
+    # process so the prover's 2^20 Pippenger trace is paid once).
+    if _remaining() > 90:
+        _run_phase("heavy", max(60.0, _remaining() - 45))
+    _emit()
+
+
+_CHILD_PGIDS = set()
+_LIVE_PROGRESS = []
+
+
+# ===========================================================================
+# Child phases (everything below runs in subprocesses)
+# ===========================================================================
+
+class Progress:
+    """Incrementally-persisted result dict: every update is atomically
+    visible to the parent, so a later hang loses nothing."""
+
+    def __init__(self, path):
+        self.path = path
+        self.data = {}
+
+    def __setitem__(self, k, v):
+        self.data[k] = v
+        tmp = f"{self.path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f)
+        os.replace(tmp, self.path)
+
+    def get(self, k, default=None):
+        return self.data.get(k, default)
+
+
+def _child_setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("BENCH_CACHE", "/tmp/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def _fetch(out):
+    import jax
+    import numpy as np
+
     return np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0]
 
 
@@ -72,6 +259,7 @@ def _chain_time(step, init, n_long=8, n_short=1, reps=2, consts=()):
     arrays become HLO literal constants, and at 2^20 points that ~200 MB
     payload exceeds the relay's remote-compile HTTP body limit (the round-2
     BENCH rc=1 / HTTP 413 failure)."""
+    import jax
 
     @jax.jit
     def run(N, x0, *cs):
@@ -84,8 +272,15 @@ def _chain_time(step, init, n_long=8, n_short=1, reps=2, consts=()):
 
 
 def bench_bitchecks(extra):
-    """On-device golden comparisons: fail the whole bench on mismatch
-    (VERDICT r1: Mosaic lowering must be bit-checked on the real chip)."""
+    """On-device golden comparisons: flag the whole bench on mismatch
+    (VERDICT r1: Mosaic lowering must be bit-checked on the real chip).
+    Golden paths run under limb.force_pallas(False) — a trace-keyed,
+    thread-local override — instead of mutating MYZKP_PALLAS process-wide
+    (advisor r2/r3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from myzkp_tpu.fields.spec import bn254_q_spec
     from myzkp_tpu.fields import limb, limb_pallas
 
@@ -93,77 +288,73 @@ def bench_bitchecks(extra):
     n = 1 << 14
     a = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(0), (n,)))
     b = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(1), (n,)))
-    prev_pallas = os.environ.get("MYZKP_PALLAS")
-    try:
-        os.environ["MYZKP_PALLAS"] = "0"
-        want = np.asarray(jax.jit(lambda a, b: limb.mont_mul(spec, a, b))(a, b))
-        os.environ["MYZKP_PALLAS"] = "1"
-        got = np.asarray(jax.jit(
-            lambda a, b: limb_pallas.mont_mul_pallas(spec, a, b))(a, b))
-        ok_mul = bool((got == want).all())
+    with limb.force_pallas(False):
+        want = np.asarray(jax.jit(
+            lambda a, b: limb.mont_mul(spec, a, b))(a, b))
+    got = np.asarray(jax.jit(
+        lambda a, b: limb_pallas.mont_mul_pallas(spec, a, b))(a, b))
+    ok_mul = bool((got == want).all())
 
-        tw = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(2), (n,)))
-        gu, gv = jax.jit(lambda u, v, t: limb_pallas.butterfly_pallas(
-            spec, u, v, t, dit=False))(a, b, tw)
-        os.environ["MYZKP_PALLAS"] = "0"
+    tw = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(2), (n,)))
+    gu, gv = jax.jit(lambda u, v, t: limb_pallas.butterfly_pallas(
+        spec, u, v, t, dit=False))(a, b, tw)
+    with limb.force_pallas(False):
         wu, wv = jax.jit(lambda u, v, t: (
             limb.add(spec, u, v),
             limb.mont_mul(spec, limb.sub(spec, u, v), t)))(a, b, tw)
-        ok_bf = bool((np.asarray(gu) == np.asarray(wu)).all()
-                     and (np.asarray(gv) == np.asarray(wv)).all())
+    ok_bf = bool((np.asarray(gu) == np.asarray(wu)).all()
+                 and (np.asarray(gv) == np.asarray(wv)).all())
 
-        # fused multi-stage NTT leaf kernel vs pure-JAX Stockham (over the
-        # NTT field bn254-r: q-1 has 2-adicity 1, no length-256 roots)
-        from myzkp_tpu.fields.spec import bn254_r_spec
-        from myzkp_tpu.ops import ntt as nttmod
+    # fused multi-stage NTT leaf kernel vs pure-JAX Stockham (over the
+    # NTT field bn254-r: q-1 has 2-adicity 1, no length-256 roots)
+    from myzkp_tpu.fields.spec import bn254_r_spec
+    from myzkp_tpu.ops import ntt as nttmod
 
-        rspec = bn254_r_spec()
-        ar = limb.to_mont(rspec, limb.random(rspec, jax.random.PRNGKey(5),
-                                             (n,)))
-        m = 128
-        x4 = ar.reshape(rspec.L, 1, m, n // m)
-        twf = jnp.asarray(nttmod._leaf_twiddles_np(rspec, m, False))
-        gl = np.asarray(limb_pallas.ntt_leaf_pallas(rspec, x4, twf, m))
-        os.environ["MYZKP_PALLAS"] = "0"
+    rspec = bn254_r_spec()
+    ar = limb.to_mont(rspec, limb.random(rspec, jax.random.PRNGKey(5),
+                                         (n,)))
+    m = 128
+    x4 = ar.reshape(rspec.L, 1, m, n // m)
+    twf = jnp.asarray(nttmod._leaf_twiddles_np(rspec, m, False))
+    gl = np.asarray(limb_pallas.ntt_leaf_pallas(rspec, x4, twf, m))
+    with limb.force_pallas(False):
         wl = np.asarray(jax.jit(
             lambda x: nttmod._stockham_axis(rspec, x, m, False))(x4))
-        os.environ["MYZKP_PALLAS"] = "1"
-        ok_leaf = bool((gl == wl).all())
+    ok_leaf = bool((gl == wl).all())
 
-        # fused G2 (Fq2-coordinate) complete add vs pure-JAX golden — the
-        # G2 interpret tests are CI-slow-marked, so the lowering is pinned
-        # here on the real chip instead
-        from myzkp_tpu.curves import bn254, weierstrass as wst
+    # fused G2 (Fq2-coordinate) complete add vs pure-JAX golden — the
+    # G2 interpret tests are CI-slow-marked, so the lowering is pinned
+    # here on the real chip instead
+    from myzkp_tpu.curves import bn254, weierstrass as wst
 
-        F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
-        g2gen = bn254.g2_generator()
-        pa = bn254.g2_points_to_device([g2gen * (3 + i) for i in range(8)])
-        pb = bn254.g2_points_to_device([g2gen * (11 + i) for i in range(8)])
-        def g2add(): return wst.padd(F2, b32, pa, pb)
-        got2 = jax.tree_util.tree_leaves(g2add())
-        os.environ["MYZKP_PALLAS"] = "0"
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+    g2gen = bn254.g2_generator()
+    pa = bn254.g2_points_to_device([g2gen * (3 + i) for i in range(8)])
+    pb = bn254.g2_points_to_device([g2gen * (11 + i) for i in range(8)])
+
+    def g2add():
+        return wst.padd(F2, b32, pa, pb)
+
+    got2 = jax.tree_util.tree_leaves(g2add())
+    with limb.force_pallas(False):
         want2 = jax.tree_util.tree_leaves(g2add())
-        os.environ["MYZKP_PALLAS"] = "1"
-        ok_g2 = all(bool((np.asarray(g) == np.asarray(w)).all())
-                    for g, w in zip(got2, want2))
-    finally:
-        if prev_pallas is None:
-            os.environ.pop("MYZKP_PALLAS", None)
-        else:
-            os.environ["MYZKP_PALLAS"] = prev_pallas
+    ok_g2 = all(bool((np.asarray(g) == np.asarray(w)).all())
+                for g, w in zip(got2, want2))
+
     extra["bitcheck_mont_mul"] = ok_mul
     extra["bitcheck_butterfly"] = ok_bf
     extra["bitcheck_ntt_leaf"] = ok_leaf
     extra["bitcheck_g2_padd"] = ok_g2
     if not (ok_mul and ok_bf and ok_leaf and ok_g2):
-        print(json.dumps({"metric": "BITCHECK_FAILED", "value": 0,
-                          "unit": "", "vs_baseline": 0, "extra": extra}))
-        sys.exit(1)
-    print("# bitchecks OK (mont_mul, butterfly @ 2^14, ntt_leaf @ 128x128, g2 padd)",
-          file=sys.stderr)
+        extra["_bitcheck_failed"] = True
+    else:
+        print("# bitchecks OK (mont_mul, butterfly @ 2^14, ntt_leaf @ "
+              "128x128, g2 padd)", file=sys.stderr)
 
 
 def bench_mont_mul(extra):
+    import jax
+
     from myzkp_tpu.fields.spec import bn254_q_spec
     from myzkp_tpu.fields import limb, limb_pallas
 
@@ -179,9 +370,10 @@ def bench_mont_mul(extra):
 
 
 def bench_ntt(extra):
+    import jax
+
     from myzkp_tpu.fields.spec import bn254_r_spec
     from myzkp_tpu.fields import limb
-    from myzkp_tpu.fields.fp import Fp
     from myzkp_tpu.ops import ntt as nttmod
 
     spec = bn254_r_spec()
@@ -199,27 +391,64 @@ def bench_ntt(extra):
           f"({nbf/dt/1e6:.0f} M butterflies/s)", file=sys.stderr)
 
 
-def bench_msm(extra):
-    from myzkp_tpu.curves import bn254, msm, weierstrass as wst
-    from myzkp_tpu.fields import limb
+def _msm_point_cache_path():
+    salt = _code_hash("myzkp_tpu/curves/fixed_base.py",
+                      "myzkp_tpu/curves/bn254.py")
+    return os.path.join(KEYS_DIR, f"msm_pts_2^{LOG_N}_s42_{salt}.npz")
+
+
+def _msm_points_and_scalars():
+    """2^LOG_N pseudorandom points as known multiples [m_i]G (disk-cached)
+    plus random scalars; the golden check then needs only one host scalar
+    mul: [sum k_i m_i mod r] G."""
+    import jax
+    import numpy as np
+
+    from myzkp_tpu.curves import bn254, fixed_base, msm, weierstrass as wst
 
     rng = random.Random(42)
     rspec = bn254.r_spec()
-    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
     n = 1 << LOG_N
-
-    # points generated ON DEVICE as known multiples [m_i]G so the golden
-    # check needs only one host scalar mul: sum k_i m_i mod r
     ms = [rng.randrange(1, bn254.R) for _ in range(n)]
-    base = bn254.g1_points_to_device([bn254.g1_generator()] * n)
-    m_limbs = msm.scalars_from_int(rspec, ms)
-    gen = jax.jit(lambda px, py, pz, sl: tuple(wst.scalar_mul_bits(
-        F, b3, wst.Point(px, py, pz), msm.scalar_bits(sl))))
-    points = wst.Point(*gen(base.x, base.y, base.z, m_limbs))
-    _fetch(points)
-
     ks = [rng.randrange(0, bn254.R) for _ in range(n)]
     scalars = msm.scalars_from_int(rspec, ks)
+    path = _msm_point_cache_path()
+    if os.path.exists(path):
+        try:
+            d = np.load(path)
+            import jax.numpy as jnp
+
+            pts = wst.Point(jnp.asarray(d["x"]), jnp.asarray(d["y"]),
+                            jnp.asarray(d["z"]))
+            print("# msm point table loaded from cache", file=sys.stderr)
+            return pts, scalars, ms, ks
+        except Exception:
+            pass
+    t0 = time.perf_counter()
+    pts = fixed_base.fixed_base_multi("g1", msm.scalars_from_int(rspec, ms))
+    x, y, z = (np.asarray(c) for c in (pts.x, pts.y, pts.z))
+    print(f"# msm point table generated in {time.perf_counter()-t0:.1f}s "
+          "(fixed-base windowed)", file=sys.stderr)
+    try:
+        os.makedirs(KEYS_DIR, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, x=x, y=y, z=z)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return pts, scalars, ms, ks
+
+
+def bench_msm(extra):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from myzkp_tpu.curves import bn254, msm, weierstrass as wst
+
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    n = 1 << LOG_N
+    points, scalars, ms, ks = _msm_points_and_scalars()
 
     # golden: small-n MSM through the same pipeline vs host ground truth
     n_small = 512
@@ -232,9 +461,8 @@ def bench_msm(extra):
         sum(k * m for k, m in zip(ks[:n_small], ms[:n_small])) % bn254.R)
     extra["bitcheck_msm_512"] = bool(got_host == exp)
     if not extra["bitcheck_msm_512"]:
-        print(json.dumps({"metric": "MSM_GOLDEN_FAILED", "value": 0,
-                          "unit": "", "vs_baseline": 0, "extra": extra}))
-        sys.exit(1)
+        extra["_msm_golden_failed"] = True
+        return
     print("# msm golden @512 OK", file=sys.stderr)
 
     def step(i, carry, px, py, pz, sl):
@@ -260,75 +488,194 @@ def bench_msm(extra):
     for k, p in zip(ks[:sample], host_pts):
         acc = acc + p * k
     host_pps = sample / (time.perf_counter() - t0)
-    return pps, host_pps
+    extra["_pps"] = round(pps, 1)
+    extra["_host_pps"] = host_pps
 
 
-def bench_qap(extra, qap_log=None):
-    """End-to-end Pinocchio prove at 2^qap_log constraints (north star)."""
+# ---------------------------------------------------------------------------
+# QAP end-to-end (north star)
+# ---------------------------------------------------------------------------
+
+def _qap_cache_paths(qap_log):
+    salt = _code_hash("myzkp_tpu/snark/pinocchio.py",
+                      "myzkp_tpu/arith/sparse.py",
+                      "myzkp_tpu/curves/fixed_base.py")
+    base = os.path.join(KEYS_DIR, f"pino_2^{qap_log}_s42_{salt}")
+    return base + ".npz", base + ".vk.json"
+
+
+def _g2_warm_marker():
+    salt = _code_hash("myzkp_tpu/curves/msm.py",
+                      "myzkp_tpu/curves/curve_pallas.py",
+                      "myzkp_tpu/curves/weierstrass.py",
+                      "myzkp_tpu/fields/tile_ops.py")
+    return os.path.join(KEYS_DIR, f"g2_pippenger_warm_{salt}")
+
+
+def bench_qap(extra, deadline, qap_log=None):
+    """End-to-end Pinocchio prove at 2^qap_log constraints (north star).
+
+    Stage-gated against ``deadline`` (absolute perf_counter value); the
+    proving key persists across runs, so setup's cost is paid once per
+    host per code version.  The G2 prover MSM runs Pippenger only once a
+    prior successful run proved its compile is warm (marker file);
+    otherwise the compile-bounded chunked ladder keeps a cold run inside
+    the budget (its measured cold compile is ~6 min vs 36 min)."""
     from myzkp_tpu.arith.sparse import SparseQAP, square_chain
     from myzkp_tpu.curves import bn254
     from myzkp_tpu.snark import pinocchio
+    from myzkp_tpu.utils import serialize
 
-    QAP_LOG = qap_log if qap_log is not None else globals()["QAP_LOG"]
+    qap_log = qap_log if qap_log is not None else QAP_LOG
+    tag = f"qap_2^{qap_log}"
+
+    if "MYZKP_G2_MSM" not in os.environ:
+        os.environ["MYZKP_G2_MSM"] = (
+            "pippenger" if os.path.exists(_g2_warm_marker()) else "naive")
+    extra[tag + "_g2_method"] = os.environ["MYZKP_G2_MSM"]
+
     spec = bn254.r_spec()
     rng = random.Random(42)
-    m = 1 << QAP_LOG
+    m = 1 << qap_log
     t0 = time.perf_counter()
     r1cs, assignment = square_chain(spec, m)
     qap = SparseQAP(r1cs)
     t1 = time.perf_counter()
-    pk, vk = pinocchio.setup(qap, rng=rng)
-    _fetch(pk.g1_sj.x)
+    extra[tag + "_circuit_s"] = round(t1 - t0, 3)
+
+    pk_path, vk_path = _qap_cache_paths(qap_log)
+    cached = os.path.exists(pk_path) and os.path.exists(vk_path)
+    if cached:
+        pk = serialize.load_pinocchio_pk(pk_path)
+        vk = serialize.load_pinocchio_vk(vk_path)
+        extra[tag + "_setup_cached"] = True
+        t2 = time.perf_counter()
+        extra[tag + "_setup_load_s"] = round(t2 - t1, 3)
+    else:
+        if time.perf_counter() > deadline - 240:
+            extra[tag + "_skipped"] = "no time for setup"
+            return
+        pk, vk = pinocchio.setup(qap, rng=rng)
+        _fetch(pk.g1_sj.x)
+        t2 = time.perf_counter()
+        extra[tag + "_setup_s"] = round(t2 - t1, 3)
+        try:
+            os.makedirs(KEYS_DIR, exist_ok=True)
+            serialize.save_pinocchio_pk(pk_path, pk)
+            serialize.save_pinocchio_vk(vk_path, vk)
+            extra[tag + "_setup_saved_s"] = round(
+                time.perf_counter() - t2, 3)
+        except OSError as e:
+            extra[tag + "_setup_save_error"] = str(e)[:120]
+    print(f"# {tag}: keys ready ({time.perf_counter()-t1:.1f}s, "
+          f"cached={cached})", file=sys.stderr)
+
+    if time.perf_counter() > deadline - 60:
+        extra[tag + "_skipped"] = "no time for prove"
+        return
     t2 = time.perf_counter()
     proof = pinocchio.prove(assignment, pk, qap, rng=rng)  # warm-up/compile
     t3 = time.perf_counter()
-    proof = pinocchio.prove(assignment, pk, qap, rng=rng)  # steady state
-    t4 = time.perf_counter()
+    extra[tag + "_prove_cold_s"] = round(t3 - t2, 3)
+    print(f"# {tag}: cold prove {t3-t2:.1f}s", file=sys.stderr)
+    if time.perf_counter() < deadline - 1.5 * (t3 - t2):
+        proof = pinocchio.prove(assignment, pk, qap, rng=rng)  # steady state
+        t4 = time.perf_counter()
+        extra[tag + "_prove_s"] = round(t4 - t3, 3)
+    else:
+        t4 = t3
+        extra[tag + "_prove_s"] = round(t3 - t2, 3)
+        extra[tag + "_prove_is_cold"] = True
     ok = pinocchio.verify(proof, vk)
     t5 = time.perf_counter()
+    extra[tag + "_verify_s"] = round(t5 - t4, 3)
+    print(f"# {tag}: prove {extra[tag + '_prove_s']:.2f}s "
+          f"verify {t5-t4:.2f}s ok={ok}", file=sys.stderr)
     if not ok:
-        print(json.dumps({"metric": "QAP_PROOF_REJECTED", "value": 0,
-                          "unit": "", "vs_baseline": 0, "extra": extra}))
-        sys.exit(1)
-    extra[f"qap_2^{QAP_LOG}_prove_s"] = round(t4 - t3, 3)
-    extra[f"qap_2^{QAP_LOG}_prove_cold_s"] = round(t3 - t2, 3)
-    extra[f"qap_2^{QAP_LOG}_setup_s"] = round(t2 - t1, 3)
-    extra[f"qap_2^{QAP_LOG}_circuit_s"] = round(t1 - t0, 3)
-    extra[f"qap_2^{QAP_LOG}_verify_s"] = round(t5 - t4, 3)
-    print(f"# qap 2^{QAP_LOG}: prove {t4-t3:.2f}s (cold {t3-t2:.2f}s) "
-          f"setup {t2-t1:.1f}s verify {t5-t4:.2f}s", file=sys.stderr)
-
-
-def main():
-    extra = {"methodology": "chain-diff+fetch (docs/speed_of_light.md)"}
-    t_start = time.perf_counter()
-    if "bitcheck" not in SKIP:
-        bench_bitchecks(extra)
-    if "mont_mul" not in SKIP:
-        bench_mont_mul(extra)
-    if "ntt" not in SKIP:
-        bench_ntt(extra)
-    pps, host_pps = bench_msm(extra)
-    if "qap" not in SKIP:
-        try:
-            bench_qap(extra)
-        except Exception as e:  # keep the headline metric on qap failure
-            extra["qap_error"] = f"{type(e).__name__}: {e}"[:200]
-            if QAP_LOG > 16:
-                # fall back so SOME end-to-end prove number lands
+        extra[tag + "_rejected"] = True
+        if cached:
+            # a stale cached key can't satisfy a fresh assignment check —
+            # invalidate and (budget permitting) retry with a fresh setup
+            for p in (pk_path, vk_path):
                 try:
-                    bench_qap(extra, qap_log=16)
-                except Exception as e2:
-                    extra["qap16_error"] = f"{type(e2).__name__}: {e2}"[:200]
-    extra["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
-    print(json.dumps({
-        "metric": f"bn254_g1_msm_pippenger_2^{LOG_N}",
-        "value": round(pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pps / host_pps, 2),
-        "extra": extra,
-    }))
+                    os.unlink(p)
+                except OSError:
+                    pass
+            if time.perf_counter() < deadline - 420:
+                bench_qap(extra, deadline, qap_log)
+        return
+    if os.environ.get("MYZKP_G2_MSM") == "pippenger":
+        with open(_g2_warm_marker(), "w") as f:
+            f.write("ok\n")
+    elif time.perf_counter() < deadline - 2100:
+        # plenty of budget left: warm the G2 Pippenger path so future runs
+        # (and the driver's) get the faster prover
+        os.environ["MYZKP_G2_MSM"] = "pippenger"
+        t6 = time.perf_counter()
+        proof2 = pinocchio.prove(assignment, pk, qap, rng=rng)
+        extra[tag + "_prove_pippenger_cold_s"] = round(
+            time.perf_counter() - t6, 3)
+        if pinocchio.verify(proof2, vk):
+            t7 = time.perf_counter()
+            proof2 = pinocchio.prove(assignment, pk, qap, rng=rng)
+            extra[tag + "_prove_pippenger_s"] = round(
+                time.perf_counter() - t7, 3)
+            with open(_g2_warm_marker(), "w") as f:
+                f.write("ok\n")
+
+
+def child_main(phases: str, progress_path: str, budget: float):
+    prog = Progress(progress_path)
+
+    def handler(signum, frame):
+        prog["child_killed"] = signum
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, handler)
+    _child_setup_jax()
+    deadline = T0 + budget  # parent-granted budget (it enforces harder caps)
+
+    class ExtraProxy(dict):
+        def __setitem__(self, k, v):
+            dict.__setitem__(self, k, v)
+            prog[k] = v
+
+    extra = ExtraProxy()
+    try:
+        if phases == "light":
+            if "bitcheck" not in SKIP:
+                bench_bitchecks(extra)
+                if extra.get("_bitcheck_failed"):
+                    return
+            if "mont_mul" not in SKIP:
+                bench_mont_mul(extra)
+            if "ntt" not in SKIP:
+                bench_ntt(extra)
+        elif phases == "heavy":
+            if "msm" not in SKIP:
+                bench_msm(extra)
+                if extra.get("_msm_golden_failed"):
+                    return
+            if "qap" not in SKIP:
+                try:
+                    bench_qap(extra, deadline)
+                except Exception as e:  # keep the headline on qap failure
+                    extra["qap_error"] = f"{type(e).__name__}: {e}"[:200]
+                if (QAP_LOG > 16
+                        and f"qap_2^{QAP_LOG}_prove_s" not in extra
+                        and time.perf_counter() < deadline - 240):
+                    try:
+                        bench_qap(extra, deadline, qap_log=16)
+                    except Exception as e2:
+                        extra["qap16_error"] = (
+                            f"{type(e2).__name__}: {e2}"[:200])
+    except Exception as e:
+        extra["phase_error"] = f"{type(e).__name__}: {e}"[:300]
+        raise
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--child":
+        child_main(sys.argv[2], sys.argv[3], float(sys.argv[4]))
+    else:
+        main()

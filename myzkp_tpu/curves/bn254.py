@@ -239,8 +239,8 @@ def g2_points_to_device(points) -> wst.Point:
     spec = q_spec()
     c = {"x0": [], "x1": [], "y0": [], "y1": [], "inf": []}
     for p in points:
-        if isinstance(p, PyPoint):
-            if p.inf:
+        if isinstance(p, PyPoint) or p is None:
+            if p is None or p.inf:
                 c["x0"].append(0); c["x1"].append(0)
                 c["y0"].append(1); c["y1"].append(0)
                 c["inf"].append(True)

@@ -30,9 +30,12 @@ from ..fields.tile_ops import TileFp, TileFq2
 _S = 8  # sublane rows per batch tile
 
 
-# Trace-time fusion override (see no_fuse): >0 routes group ops through the
-# pure-JAX limb path even on TPU.
-_no_fuse_depth = 0
+# Trace-time fusion override (see no_fuse): a thread-local depth counter
+# (advisor r3: a module global was not thread-safe) — >0 routes group ops
+# through the pure-JAX limb path even on TPU.
+import threading as _threading
+
+_no_fuse_tls = _threading.local()
 
 
 def no_fuse():
@@ -50,20 +53,21 @@ def no_fuse():
 
     @contextlib.contextmanager
     def _cm():
-        global _no_fuse_depth
-        _no_fuse_depth += 1
+        _no_fuse_tls.depth = getattr(_no_fuse_tls, "depth", 0) + 1
         try:
             yield
         finally:
-            _no_fuse_depth -= 1
+            _no_fuse_tls.depth -= 1
 
     return _cm()
 
 
 def enabled() -> bool:
-    if _no_fuse_depth > 0:
+    from ..fields import limb as _limb
+
+    if getattr(_no_fuse_tls, "depth", 0) > 0:
         return False
-    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+    if not _limb.pallas_allowed():
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -204,12 +204,44 @@ def select(mask, a, b):
 # Montgomery multiplication
 # ---------------------------------------------------------------------------
 
-def _use_pallas(bshape) -> bool:
-    """Trace-time dispatch: route big batches to the Pallas kernel on TPU."""
-    import math
+import contextlib as _contextlib
+import threading as _threading
+
+_PALLAS_OVERRIDE = _threading.local()
+
+
+@_contextlib.contextmanager
+def force_pallas(on):
+    """Trace-time Pallas-dispatch override for code traced inside the
+    context: ``False`` forces the pure-JAX golden path, ``True`` restores
+    the default dispatch, ``None`` defers to the MYZKP_PALLAS env var.
+
+    Thread-local, and threaded into ``mont_mul``'s jit cache key — unlike
+    mutating MYZKP_PALLAS process-wide, a flip can never hit a stale cached
+    trace for the same shapes (advisor r2/r3)."""
+    prev = getattr(_PALLAS_OVERRIDE, "v", None)
+    _PALLAS_OVERRIDE.v = on
+    try:
+        yield
+    finally:
+        _PALLAS_OVERRIDE.v = prev
+
+
+def pallas_allowed() -> bool:
+    """Call-time half of the dispatch decision (override + env)."""
     import os
 
-    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+    ov = getattr(_PALLAS_OVERRIDE, "v", None)
+    if ov is not None:
+        return bool(ov)
+    return os.environ.get("MYZKP_PALLAS", "1") != "0"
+
+
+def _use_pallas(bshape, allowed: bool | None = None) -> bool:
+    """Trace-time dispatch: route big batches to the Pallas kernel on TPU."""
+    import math
+
+    if not (pallas_allowed() if allowed is None else allowed):
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -219,17 +251,22 @@ def _use_pallas(bshape) -> bool:
     return math.prod(bshape) >= 512 if bshape else False
 
 
-@functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, a, b):
     """(a * b * R^{-1}) mod p for canonical Montgomery-domain inputs < p.
 
     Dispatches to the fused Pallas VMEM kernel (limb_pallas.py) for large
-    batches on TPU; the pure-JAX segment-sum + scanned-REDC path below is the
-    golden reference and the CPU/small-batch fallback.
+    batches on TPU; the pure-JAX segment-sum + scanned-REDC path is the
+    golden reference and the CPU/small-batch fallback.  The dispatch flag is
+    a static jit argument so force_pallas flips never reuse a stale trace.
     """
+    return _mont_mul(spec, pallas_allowed(), a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _mont_mul(spec: FieldSpec, pallas: bool, a, b):
     L = spec.L
     a, b, bshape = _broadcast_pair(L, a, b)
-    if _use_pallas(bshape):
+    if _use_pallas(bshape, allowed=pallas):
         from . import limb_pallas
 
         return limb_pallas.mont_mul_pallas(spec, a, b)

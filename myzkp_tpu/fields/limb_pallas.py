@@ -113,11 +113,20 @@ def butterfly_pallas(spec: FieldSpec, u, v, tw, dit: bool,
     return unflat(su), unflat(sv)
 
 
-# Trailing in-place stages per leaf: sub-transforms of this length run as
-# roll+select butterflies inside 8-row sublane groups — slicing the sublane
-# axis below 8 rows forces Mosaic relayouts that measured 10x slower than
-# the math itself (10.5 ms vs ~1 ms for the slab stages, v5e).
+# Trailing in-place stages per leaf: sub-transforms of this length pair
+# rows closer than 8 apart, where slab slicing would force sub-sublane
+# Mosaic relayouts (measured 10x slower than the math itself).
 _NTT_TAIL = 3
+
+
+def _tail_transposed(m: int) -> bool:
+    """m >= 64: run the tail as half-width slab stages after ONE in-VMEM
+    (g, 8) -> (8, g) sublane transpose — the three stage distances become
+    m/2, m/4, m/8 >= 8 rows, so the (u - v) * tw multiply touches only the
+    half that needs it (the roll+select tail multiplied full-width and
+    discarded half the products — its own mul bound, docs/speed_of_light.md).
+    Below m = 64 the transposed distances drop under 8 rows; keep rolls."""
+    return m >= 64
 
 
 def ntt_leaf_row_perm(m: int) -> np.ndarray:
@@ -125,16 +134,21 @@ def ntt_leaf_row_perm(m: int) -> np.ndarray:
     order: out_natural[k] = kernel_out[perm[k]].
 
     After S = log2(m)-3 Stockham slab stages, block g of the (m/8, 8)-row
-    structure holds output residue class k = g (mod m/8); the in-place DIF
-    tail then produces each group's local length-8 transform in
-    bit-reversed order.  Hence kernel row g*8 + r holds natural index
-    k = g + (m/8) * bitrev3(r).
+    structure holds output residue class k = g (mod m/8), and the in-place
+    DIF tail produces each group's local length-8 transform in bit-reversed
+    order r = bitrev3(local frequency).  Roll tail (m < 64): kernel row
+    g*8 + r, hence perm[k] = (k mod m/8)*8 + bitrev3(k div m/8).
+    Transposed tail (m >= 64): kernel row r*(m/8) + g, hence
+    perm[k] = bitrev3(k div m/8)*(m/8) + (k mod m/8).
     """
     g8 = m // 8
     rev3 = [int(f"{r:03b}"[::-1], 2) for r in range(8)]
     perm = np.empty(m, dtype=np.int32)
     for k in range(m):
-        perm[k] = (k % g8) * 8 + rev3[k // g8]
+        if _tail_transposed(m):
+            perm[k] = rev3[k // g8] * g8 + (k % g8)
+        else:
+            perm[k] = (k % g8) * 8 + rev3[k // g8]
     return perm
 
 
@@ -175,7 +189,36 @@ def _make_ntt_leaf_kernel(spec: FieldSpec, m: int, interpret: bool = False):
             off += h
             c = h
         x = x.reshape(L, m, 128)
-        # tail: in-place DIF inside each 8-row group (c = 8, 4, 2)
+        if _tail_transposed(m):
+            # ONE sublane transpose turns the within-8-group pairings into
+            # slab pairings at distances m/2, m/4, m/8 — each remaining
+            # stage multiplies only its v half (vs the roll tail's
+            # full-width mul with half the products discarded).
+            g8 = m // 8
+            x = jnp.swapaxes(x.reshape(L, g8, 8, 128), 1, 2)  # (L,8,g8,128)
+            x = x.reshape(L, m, 128)
+            # stage c=8: pairs (j, j+4) -> halves; v-row twiddle w8^(j-4)
+            u, v = x[:, : m // 2, :], x[:, m // 2 :, :]
+            t1 = t_ref[:, off : off + m // 2, :].reshape(L, m // 2, 1)
+            off += m // 2
+            x = jnp.concatenate(
+                [tF.add(u, v), tF.mul(tF.sub(u, v), t1)], axis=1)
+            # stage c=4: pairs (j, j+2) within each half; twiddle w4^(j&1)
+            x = x.reshape(L, 2, 2, m // 4, 128)
+            u, v = x[:, :, 0], x[:, :, 1]
+            t2 = t_ref[:, off : off + m // 4, :].reshape(L, 1, m // 4, 1)
+            off += m // 4
+            x = jnp.stack(
+                [tF.add(u, v), tF.mul(tF.sub(u, v), t2)], axis=2)
+            # stage c=2: pairs (j, j+1); twiddle w2^0 = 1 (no mul)
+            x = x.reshape(L, 4, 2, m // 8, 128)
+            u, v = x[:, :, 0], x[:, :, 1]
+            x = jnp.stack([tF.add(u, v), tF.sub(u, v)], axis=2)
+            o_ref[...] = x.reshape(L, 1, m, 128)
+            return
+        # m < 64 tail: in-place DIF inside each 8-row group (c = 8, 4, 2)
+        # via sublane rolls + row-parity select (full-width mul; the
+        # transposed-slab pairings would drop under 8 rows here)
         row = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 0)
         for cc in (8, 4, 2):
             h = cc // 2

@@ -121,9 +121,8 @@ def _outer_twiddle_np(spec: FieldSpec, w: int, n1: int, cols: int) -> np.ndarray
 
 def _use_fused_butterfly(shape) -> bool:
     import math
-    import os
 
-    if os.environ.get("MYZKP_PALLAS", "1") == "0":
+    if not limb.pallas_allowed():
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -215,31 +214,47 @@ def _leaf_twiddles_np(spec: FieldSpec, m: int, inverse: bool) -> np.ndarray:
     """Twiddle tables for the fused leaf kernel, shape (L, T, 1).
 
     Layout: per-stage Stockham slab twiddles for stages 0..log2(m)-4
-    (widths m/2, m/4, ..., 8), then two full-height (m,) in-place tail
-    tables for the 8-block and 4-block stages (row r: w_cc^{(r mod cc)-h}
-    at v-rows, 1 at u-rows — the u-row value is discarded by the kernel's
+    (widths m/2, m/4, ..., 8), then the tail tables.  Transposed tail
+    (m >= 64): two half-width v-row tables — (m/2,) with entry w8^(r div
+    m/8) and (m/4,) with entry w4^(r div m/8).  Roll tail (m < 64): two
+    full-height (m,) in-place tables (row r: w_cc^{(r mod cc)-h} at
+    v-rows, 1 at u-rows — the u-row value is discarded by the kernel's
     select).  See limb_pallas._make_ntt_leaf_kernel.
     """
-    from ..fields.limb_pallas import _NTT_TAIL
+    from ..fields.limb_pallas import _NTT_TAIL, _tail_transposed
 
     stages = m.bit_length() - 1
     S = stages - _NTT_TAIL
     parts = [_stage_twiddle(spec, m, s, inverse) for s in range(S)]
 
-    def tail_table(cc: int) -> np.ndarray:
-        w = nth_root_of_unity(spec.p, cc)
-        if inverse:
-            w = pow(w, -1, spec.p)
-        h = cc // 2
-        out = np.zeros((spec.L, m), dtype=np.uint32)
-        for r in range(m):
-            j = r % cc
-            v = spec.to_mont_int(pow(w, j - h, spec.p) if j >= h else 1)
+    def _mont_cols(vals) -> np.ndarray:
+        out = np.zeros((spec.L, len(vals)), dtype=np.uint32)
+        for j, v in enumerate(vals):
+            mv = spec.to_mont_int(v)
             for i in range(spec.L):
-                out[i, r] = (v >> (16 * i)) & 0xFFFF
+                out[i, j] = (mv >> (16 * i)) & 0xFFFF
         return out
 
-    parts += [tail_table(8), tail_table(4)]
+    def root(cc: int) -> int:
+        w = nth_root_of_unity(spec.p, cc)
+        return pow(w, -1, spec.p) if inverse else w
+
+    if _tail_transposed(m):
+        g8 = m // 8
+        w8, w4 = root(8), root(4)
+        parts += [
+            _mont_cols([pow(w8, r // g8, spec.p) for r in range(m // 2)]),
+            _mont_cols([pow(w4, r // g8, spec.p) for r in range(m // 4)]),
+        ]
+    else:
+        def tail_table(cc: int) -> np.ndarray:
+            w = root(cc)
+            h = cc // 2
+            return _mont_cols([
+                pow(w, (r % cc) - h, spec.p) if (r % cc) >= h else 1
+                for r in range(m)])
+
+        parts += [tail_table(8), tail_table(4)]
     cat = np.concatenate(parts, axis=1)
     pad = -cat.shape[1] % 8
     if pad:

@@ -32,40 +32,22 @@ from ..fields.python_field import PyPoint
 from ..ops.poly import Poly
 
 
-# Batched-scalar-mul chunk: the 256-step double-and-add scan's XLA temp
-# buffers scale with batch width (~7.6 KB/point at buffer-assignment time —
-# a 6.3M-point one-shot setup program claimed 48 GB of 15.75 GB HBM and
-# killed the compile).  2^18-point chunks keep temps ~2 GB and compile once
-# (all chunks share one shape).
+# Chunk width shared by the fixed-base setup path and the chunked naive G2
+# prover MSM: one compiled shape, HBM temps bounded (~2 GB — a 6.3M-point
+# one-shot program once claimed 48 GB of 15.75 GB HBM and killed the
+# compile).
 _G_MULTI_CHUNK = 1 << 18
 
 
 def _g_multi(which: str, scalars_std) -> wst.Point:
-    """[x_i]G for a standard-domain limb scalar batch (L, n), batched."""
-    n = scalars_std.shape[1]
-    if which == "g1":
-        F, b3 = bn254.g1_ops(), bn254.g1_b3(())
-        gen = bn254.g1_generator()
-        to_dev = bn254.g1_points_to_device
-    else:
-        F, b3 = bn254.g2_ops(), bn254.g2_b3(())
-        gen = bn254.g2_generator()
-        to_dev = bn254.g2_points_to_device
-    if n <= _G_MULTI_CHUNK:
-        bits = _msm.scalar_bits(scalars_std)
-        return wst.scalar_mul_bits(F, b3, to_dev([gen] * n), bits)
-    c = _G_MULTI_CHUNK
-    n_pad = ((n + c - 1) // c) * c
-    if n_pad != n:  # pad with zero scalars ([0]G = inf, sliced off below)
-        scalars_std = jnp.pad(scalars_std, ((0, 0), (0, n_pad - n)))
-    base = to_dev([gen] * c)
-    outs = []
-    for off in range(0, n_pad, c):
-        bits = _msm.scalar_bits(scalars_std[:, off : off + c])
-        outs.append(wst.scalar_mul_bits(F, b3, base, bits))
-    cat = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs, axis=1), *outs)
-    return jax.tree_util.tree_map(lambda a: a[:, :n], cat)
+    """[x_i]G for a standard-domain limb scalar batch (L, n), batched.
+
+    Fixed-base windowed tables (curves/fixed_base.py): ~31 wide EC adds per
+    point instead of the 256-step double-and-add ladder — the setup-side
+    displacement of pinocchio.rs:65-136's per-element mul_ref."""
+    from ..curves import fixed_base
+
+    return fixed_base.fixed_base_multi(which, scalars_std)
 
 
 def _std(x: Fp):
@@ -307,12 +289,23 @@ def _msm_g2(points: wst.Point, scalars_std) -> wst.Point:
         # process against the warm compile cache).  Set MYZKP_G2_MSM=naive
         # on a cold cache if compile latency matters more than prove time.
         c = _G_MULTI_CHUNK
+        # pad the tail chunk with zero scalars (-> infinity) so every chunk
+        # shares ONE compiled shape; without this each distinct final-chunk
+        # length retraced the whole jitted program (advisor r3)
+        n_pad = -(-n // c) * c
+        if n_pad != n:
+            scalars_std = jnp.pad(scalars_std, ((0, 0), (0, n_pad - n)))
+            points = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:, :1],
+                                         a.shape[:1] + (n_pad - n,))],
+                    axis=1),
+                points)
         acc = None
-        for off in range(0, n, c):
-            hi = min(off + c, n)
-            sub = _slice_pts(points, off, hi)
+        for off in range(0, n_pad, c):
+            sub = _slice_pts(points, off, off + c)
             part = wst.Point(*_jitted_msm("g2", "naive")(
-                sub.x, sub.y, sub.z, scalars_std[:, off:hi]))
+                sub.x, sub.y, sub.z, scalars_std[:, off:off + c]))
             acc = part if acc is None else wst.padd(F, b3, acc, part)
         return acc
     return _msm_point("g2", points, scalars_std)

@@ -83,3 +83,57 @@ def load_pinocchio_pk(path: str):
     from ..snark.pinocchio import PinocchioProofKey
 
     return PinocchioProofKey(**load_point_batches(path))
+
+
+# ---------------------------------------------------------------------------
+# Host-point (verification key) persistence: coordinates as JSON ints
+# ---------------------------------------------------------------------------
+
+def _py_point_to_ints(p):
+    # group tag from the curve's b coefficient type (works for infinity too)
+    grp = "g2" if hasattr(p.curve.b, "c") else "g1"
+    if p.inf:
+        return [grp, None]
+    if grp == "g2":
+        return [grp, [[int(c.v) for c in p.x.c], [int(c.v) for c in p.y.c]]]
+    return [grp, [int(p.x.v), int(p.y.v)]]
+
+
+def _py_point_from_ints(v):
+    from ..curves import bn254
+
+    grp, coords = v
+    if grp == "g2":
+        if coords is None:
+            return bn254.curve_g2.infinity()
+        x, y = coords
+        return bn254.curve_g2.point(bn254.Fq2([int(x[0]), int(x[1])]),
+                                    bn254.Fq2([int(y[0]), int(y[1])]))
+    if coords is None:
+        return bn254.curve_g1.infinity()
+    x, y = coords
+    return bn254.curve_g1.point(bn254.Fq(int(x)), bn254.Fq(int(y)))
+
+
+def save_pinocchio_vk(path: str, vk) -> None:
+    import json
+
+    out = {f.name: _py_point_to_ints(getattr(vk, f.name))
+           for f in dataclasses.fields(vk)}
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(out, fh)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_pinocchio_vk(path: str):
+    import json
+
+    from ..snark.pinocchio import PinocchioVerificationKey
+
+    with open(path) as fh:
+        data = json.load(fh)
+    return PinocchioVerificationKey(
+        **{k: _py_point_from_ints(v) for k, v in data.items()})
