@@ -379,11 +379,12 @@ def bench_ntt(extra):
     spec = bn254_r_spec()
     n = 1 << NTT_LOG
     a = limb.to_mont(spec, limb.random(spec, jax.random.PRNGKey(3), (n,)))
+    tabs = nttmod.fourstep_tables(spec, n, False)
 
-    def step(i, x):
-        return nttmod._ntt_natural(spec, x, False)
+    def step(i, x, *tb):
+        return nttmod._ntt_natural(spec, x, False, tb)
 
-    dt = _chain_time(step, a, n_long=6, n_short=1)
+    dt = _chain_time(step, a, n_long=6, n_short=1, consts=tabs)
     nbf = (n // 2) * NTT_LOG
     extra[f"ntt_2^{NTT_LOG}_ms"] = round(dt * 1e3, 2)
     extra[f"ntt_2^{NTT_LOG}_M_butterflies_per_s"] = round(nbf / dt / 1e6, 1)
@@ -431,7 +432,7 @@ def _msm_points_and_scalars():
           "(fixed-base windowed)", file=sys.stderr)
     try:
         os.makedirs(KEYS_DIR, exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
+        tmp = f"{path}.tmp{os.getpid()}.npz"  # np.savez appends .npz itself
         np.savez(tmp, x=x, y=y, z=z)
         os.replace(tmp, path)
     except OSError:

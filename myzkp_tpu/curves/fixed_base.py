@@ -76,7 +76,7 @@ def _device_table(which: str, c: int = _TABLE_C) -> wst.Point:
     try:
         os.makedirs(_cache_dir(), exist_ok=True)
         leaves = jax.tree_util.tree_leaves(pts)
-        tmp = path + f".tmp{os.getpid()}"
+        tmp = f"{path}.tmp{os.getpid()}.npz"  # np.savez appends .npz itself
         np.savez(tmp, **{f"l{i}": np.asarray(v) for i, v in enumerate(leaves)})
         os.replace(tmp, path)
     except OSError:

@@ -282,14 +282,23 @@ def _leaf_ntt(spec: FieldSpec, x, inverse: bool):
 
 
 def _fourstep_twiddle(spec: FieldSpec, x, m: int, m1: int, m2: int,
-                      inverse: bool):
-    """Multiply x (lead.., m1, m2, B) by the diagonal twiddle w_m^(k1*i2)."""
+                      inverse: bool, table=None):
+    """Multiply x (lead.., m1, m2, B) by the diagonal twiddle w_m^(k1*i2).
+
+    With ``table`` (a process-cached device array from fourstep_tables,
+    threaded in as a jit argument) this is ONE mont_mul; otherwise the
+    rank-structured two-factor form costs two muls but keeps trace-time
+    constants ~n^(3/4) (a 2^22 BN254 table would be a 256 MB HLO constant).
+    """
     w = nth_root_of_unity(spec.p, m)
     if inverse:
         w = pow(w, -1, spec.p)
     lead = x.shape[:-3]
     B = x.shape[-1]
     bshape = (1,) * (len(lead) - 1)
+    if table is not None:
+        t = table.reshape((spec.L,) + bshape + (m1, m2, 1))
+        return limb.mont_mul(spec, x, jnp.broadcast_to(t, x.shape))
     if m1 * m2 <= _DIRECT_TWIDDLE_MAX:
         t = jnp.asarray(_outer_twiddle_np(spec, w, m1, m2))
         t = t.reshape((spec.L,) + bshape + (m1, m2, 1))
@@ -307,13 +316,53 @@ def _fourstep_twiddle(spec: FieldSpec, x, m: int, m1: int, m2: int,
     return x5.reshape(x.shape)
 
 
-def _ntt_axis(spec: FieldSpec, x, inverse: bool):
+def _fourstep_splits(m: int) -> list[tuple[int, int, int]]:
+    """The (m, m1, m2) of every recursion level of _ntt_axis for length m
+    whose diagonal twiddle exceeds _DIRECT_TWIDDLE_MAX (big ones first)."""
+    out = []
+    while m > _FUSED_LEAF_M:
+        m1 = min(_FUSED_LEAF_M, 1 << (m.bit_length() // 2))
+        m2 = m // m1
+        if m1 * m2 > _DIRECT_TWIDDLE_MAX:
+            out.append((m, m1, m2))
+        m = m2
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def fourstep_tables(spec: FieldSpec, n: int, inverse: bool) -> tuple:
+    """Process-cached DEVICE twiddle-product tables (L, m1, m2), one per
+    recursion level of an n-point transform that would otherwise pay the
+    two-mul rank-structured build per call.  Built eagerly once (two muls
+    over the rank factors); thread into _ntt_natural(..., tables=...) as a
+    jit ARGUMENT — never close over them (64-128 MB HLO literals overflow
+    remote compiles)."""
+    tabs = []
+    for (m, m1, m2) in _fourstep_splits(n):
+        w = nth_root_of_unity(spec.p, m)
+        if inverse:
+            w = pow(w, -1, spec.p)
+        A = 1 << (-(-(m2.bit_length() - 1) // 2))
+        Bc = m2 // A
+        wa = jnp.asarray(_outer_twiddle_np(spec, w, m1, A))
+        wb = jnp.asarray(_outer_twiddle_np(spec, pow(w, A, spec.p), m1, Bc))
+        full = limb.mont_mul(
+            spec,
+            jnp.broadcast_to(wa[:, :, None, :], (spec.L, m1, Bc, A)),
+            jnp.broadcast_to(wb[:, :, :, None], (spec.L, m1, Bc, A)))
+        tabs.append(full.reshape(spec.L, m1, m2))
+    return tuple(tabs)
+
+
+def _ntt_axis(spec: FieldSpec, x, inverse: bool, tables=()):
     """Natural-order NTT over axis -2 of (lead.., m, B), recursive four-step.
 
     m <= _FUSED_LEAF_M: one fused-kernel (or Stockham) pass.  Larger:
     m = m1*m2 — transform the stride-m2*B axis i1 (a free reshape merges
     (m2, B) into the batch), diagonal twiddle w_m^(k1*i2), ONE transpose,
     transform the i2 axis; (k2, k1) flattens row-major to natural k.
+    ``tables``: optional precomputed twiddle products (fourstep_tables),
+    consumed top-down by the levels whose diagonal exceeds the direct max.
     """
     m = x.shape[-2]
     if m <= _FUSED_LEAF_M:
@@ -321,25 +370,29 @@ def _ntt_axis(spec: FieldSpec, x, inverse: bool):
     lead, B = x.shape[:-2], x.shape[-1]
     m1 = min(_FUSED_LEAF_M, 1 << (m.bit_length() // 2))
     m2 = m // m1
+    if m1 * m2 > _DIRECT_TWIDDLE_MAX and tables:
+        tab, rest = tables[0], tables[1:]
+    else:
+        tab, rest = None, tables
     x = x.reshape(lead + (m1, m2 * B))
-    x = _ntt_axis(spec, x, inverse)  # k1 in the m1 slot
+    x = _ntt_axis(spec, x, inverse)  # k1 in the m1 slot (leaf-sized)
     x = x.reshape(lead + (m1, m2, B))
-    x = _fourstep_twiddle(spec, x, m, m1, m2, inverse)
+    x = _fourstep_twiddle(spec, x, m, m1, m2, inverse, table=tab)
     x = jnp.swapaxes(x, -3, -2)  # (lead.., m2, m1, B) — the one transpose
     x = x.reshape(lead + (m2, m1 * B))
-    x = _ntt_axis(spec, x, inverse)  # k2 in the m2 slot
+    x = _ntt_axis(spec, x, inverse, rest)  # k2 in the m2 slot
     return x.reshape(lead + (m, B))  # k = k2*m1 + k1: natural
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
-def _ntt_core_recursive(spec: FieldSpec, a, inverse: bool):
+def _ntt_core_recursive(spec: FieldSpec, a, inverse: bool, *tables):
     n = a.shape[-1]
     lead = a.shape[:-1]
-    return _ntt_axis(spec, a.reshape(lead + (n, 1)), inverse
+    return _ntt_axis(spec, a.reshape(lead + (n, 1)), inverse, tables
                      ).reshape(lead + (n,))
 
 
-def _ntt_natural(spec: FieldSpec, a, inverse: bool):
+def _ntt_natural(spec: FieldSpec, a, inverse: bool, tables=None):
     """Natural-order NTT over the last axis of a (L, ..., n) limb array.
 
     n < 2^14: single Stockham pass.  Larger: recursive four-step
@@ -348,6 +401,12 @@ def _ntt_natural(spec: FieldSpec, a, inverse: bool):
     transform is 3 fused transform passes + 2 transposes + 2 twiddle
     scalings, versus 20 full-array butterfly stage round-trips unfused.
     Replaces the reference's recursive clone-heavy radix-2 (ntt.rs:7-48).
+
+    ``tables``: precomputed device twiddle products (fourstep_tables) —
+    halves the top-level twiddle muls.  Auto-fetched for eager (non-traced)
+    calls; inside a jit pass them as arguments, or leave None for the
+    rank-structured in-trace build (two muls, CSE-shared across transforms
+    of one program).
     """
     n = a.shape[-1]
     assert n & (n - 1) == 0
@@ -355,7 +414,10 @@ def _ntt_natural(spec: FieldSpec, a, inverse: bool):
         return a
     if n < _FOURSTEP_MIN_N:
         return _ntt_core_small(spec, a, inverse)
-    return _ntt_core_recursive(spec, a, inverse)
+    if (tables is None and not isinstance(a, jax.core.Tracer)
+            and _fourstep_splits(n)):
+        tables = fourstep_tables(spec, n, inverse)
+    return _ntt_core_recursive(spec, a, inverse, *(tables or ()))
 
 
 def _scale_by_n_inv(spec: FieldSpec, a):
@@ -371,18 +433,18 @@ def _scale_by_n_inv(spec: FieldSpec, a):
 # Public API over Fp (coefficient axis = last batch axis)
 # ---------------------------------------------------------------------------
 
-def ntt(a: Fp) -> Fp:
+def ntt(a: Fp, tables=None) -> Fp:
     """Forward NTT, natural order in and out (evaluations at w^i).
 
     Parity: ntt.rs:7-48 (which returns natural-order evaluations).  The
     Stockham core autosorts, so no bit-reversal gather is ever applied.
     """
-    return Fp(a.spec, _ntt_natural(a.spec, a.mont, False))
+    return Fp(a.spec, _ntt_natural(a.spec, a.mont, False, tables))
 
 
-def intt(a: Fp) -> Fp:
+def intt(a: Fp, tables=None) -> Fp:
     """Inverse NTT, natural order in/out. Parity: ntt.rs:50-64."""
-    out = _ntt_natural(a.spec, a.mont, True)
+    out = _ntt_natural(a.spec, a.mont, True, tables)
     return Fp(a.spec, _scale_by_n_inv(a.spec, out))
 
 
@@ -418,20 +480,20 @@ def fast_multiply(a: Fp, b: Fp, out_len: int | None = None) -> Fp:
     return res
 
 
-def coset_evaluate(a: Fp, offset: int, n: int) -> Fp:
+def coset_evaluate(a: Fp, offset: int, n: int, tables=None) -> Fp:
     """Evaluate poly a on the coset offset * <w_n> (parity: ntt.rs:254-269)."""
     spec = a.spec
     a = _pad_last(a, n)
     offs = _geometric_mont(spec, offset, n)
     scaled = limb.mont_mul(spec, a.mont, offs)
-    return ntt(Fp(spec, scaled))
+    return ntt(Fp(spec, scaled), tables)
 
 
-def coset_interpolate(evals: Fp, offset: int) -> Fp:
+def coset_interpolate(evals: Fp, offset: int, tables=None) -> Fp:
     """Inverse of coset_evaluate: coefficients from coset evaluations."""
     spec = evals.spec
     n = evals.shape[-1]
-    coeffs = intt(evals)
+    coeffs = intt(evals, tables)
     offs = _geometric_mont(spec, pow(offset, -1, spec.p), n)
     return Fp(spec, limb.mont_mul(spec, coeffs.mont, offs))
 

@@ -253,6 +253,70 @@ def dist_merkle_tree(spec: FieldSpec, cw_std, mesh: Mesh | None = None):
 
 
 # ---------------------------------------------------------------------------
+# Distributed Pinocchio h-pipeline (the prover's NTT stack over the mesh)
+# ---------------------------------------------------------------------------
+
+def dist_shifted_h_rou(spec: FieldSpec, m: int, u, v, w,
+                       d_ell: int, d_r: int, d_o: int, mesh: Mesh,
+                       axis: str = "shard"):
+    """Mesh-distributed shifted-h pipeline over the rou domain (t = X^m - 1).
+
+    u, v, w: (L, m) Montgomery constraint evaluations (replicated or
+    sharded); returns the (m+1)-coefficient shifted h (L, m+1), replicated.
+    Same math as snark.pinocchio._jitted_shifted_h_rou — 3 INTTs, 3 coset
+    LDEs, the pointwise division, the coset interpolation, delta shifts —
+    but every transform is a ``dist_ntt``/``dist_intt`` whose all_to_all
+    transpose rides the mesh axis, and the elementwise stages run on global
+    sharded arrays (XLA inserts the reshards).  Requires m >= D^2 for the
+    four-step split (``_pick_n2``).
+    """
+    p = spec.p
+    g = _ntt.nth_root_of_unity(p, 4 * m)
+    n = 2 * m
+    gm = pow(g, m, p)
+    # t on the coset alternates (g^m - 1, -g^m - 1); divide by the host-
+    # precomputed inverse pair instead of a batch inversion
+    tei = pow(gm - 1, -1, p)
+    toi = pow((p - gm - 1) % p, -1, p)
+
+    def coset_lde(x):
+        """evals on <w_m> -> (evals on g*<w_2m>, natural coefficients)."""
+        cperm, (n1, n2) = dist_intt(spec, x, mesh, axis=axis)
+        coef = dist_ntt_to_natural(spec, cperm, n1, n2)  # (L, m)
+        geo = _ntt._geometric_mont(spec, g, n)  # (L, 2m)
+        padded = jnp.concatenate([coef, jnp.zeros_like(coef)], axis=-1)
+        scaled = limb.mont_mul(spec, padded, geo)
+        eperm, (m1, m2) = dist_ntt(spec, scaled, mesh, axis=axis)
+        return dist_ntt_to_natural(spec, eperm, m1, m2), coef
+
+    lc, ell_coef = coset_lde(u)
+    rc, r_coef = coset_lde(v)
+    oc, _ = coset_lde(w)
+    num = limb.sub(spec, limb.mont_mul(spec, lc, rc), oc)
+    ti = jnp.tile(Fp.from_int(spec, [tei, toi]).mont, (1, m))
+    h_c = limb.mont_mul(spec, num, ti)
+    hperm, (m1, m2) = dist_intt(spec, h_c, mesh, axis=axis)
+    h_coef = dist_ntt_to_natural(spec, hperm, m1, m2)
+    geo_inv = _ntt._geometric_mont(spec, pow(g, -1, p), n)
+    h_coef = limb.mont_mul(spec, h_coef, geo_inv)[..., : m + 1]
+
+    mk = lambda x: Fp.from_int(spec, x % p).mont.reshape(spec.L, 1)
+    pad1 = [(0, 0), (0, 1)]
+    res = limb.add(spec, h_coef, jnp.pad(
+        limb.mont_mul(spec, ell_coef, mk(d_r)), pad1))
+    res = limb.add(spec, res, jnp.pad(
+        limb.mont_mul(spec, r_coef, mk(d_ell)), pad1))
+    # + (X^m - 1) * (d_ell d_r) - d_o  ==  -(drdl + d_o) at coeff 0,
+    # +drdl at coeff m
+    drdl = mk(d_ell * d_r)[:, 0]
+    do_ = mk(d_o)[:, 0]
+    res = res.at[:, 0].set(limb.sub(
+        spec, res[:, 0], limb.add(spec, drdl, do_)))
+    res = res.at[:, m].set(limb.add(spec, res[:, m], drdl))
+    return res
+
+
+# ---------------------------------------------------------------------------
 # Distributed MSM
 # ---------------------------------------------------------------------------
 

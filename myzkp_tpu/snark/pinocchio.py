@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..arith.qap import QAP
 from ..curves import bn254, msm as _msm, weierstrass as wst
@@ -338,21 +339,31 @@ def _jitted_shifted_h_rou(spec, m: int):
     gm = pow(g, m, p)
     te, to = (gm - 1) % p, (p - gm - 1) % p
 
+    # Precomputed twiddle-product tables (one mul at the big four-step
+    # levels instead of the two-mul rank build), threaded in as jit
+    # ARGUMENTS: nti_m for the three m-point INTTs, ntf_n / nti_n for the
+    # 2m-point coset LDEs and the interpolation.
+    n_ti_m = len(_ntt._fourstep_splits(m))
+    n_t_n = len(_ntt._fourstep_splits(n))
+
     @jax.jit
-    def run(u, v, w, dr, dell, drdl, do_):
+    def run(u, v, w, dr, dell, drdl, do_, *tabs):
         # u/v/w: (L, m) Montgomery constraint evaluations;
         # dr/dell/drdl/do_: (L,) Montgomery delta scalars
-        ell = Poly(_ntt.intt(Fp(spec, u)))
-        r = Poly(_ntt.intt(Fp(spec, v)))
-        o = Poly(_ntt.intt(Fp(spec, w)))
-        lc = _ntt.coset_evaluate(ell.coef, g, n)
-        rc = _ntt.coset_evaluate(r.coef, g, n)
-        oc = _ntt.coset_evaluate(o.coef, g, n)
+        ti_m = tabs[:n_ti_m]
+        tf_n = tabs[n_ti_m : n_ti_m + n_t_n]
+        ti_n = tabs[n_ti_m + n_t_n :]
+        ell = Poly(_ntt.intt(Fp(spec, u), ti_m))
+        r = Poly(_ntt.intt(Fp(spec, v), ti_m))
+        o = Poly(_ntt.intt(Fp(spec, w), ti_m))
+        lc = _ntt.coset_evaluate(ell.coef, g, n, tf_n)
+        rc = _ntt.coset_evaluate(r.coef, g, n, tf_n)
+        oc = _ntt.coset_evaluate(o.coef, g, n, tf_n)
         num = lc * rc - oc
         t_pair = Fp.from_int(spec, [te, to])
         t_c = Fp(spec, jnp.tile(t_pair.mont, (1, m)))
         h_c = num * t_c.batch_inv(axis=-1)
-        h = _ntt.coset_interpolate(h_c, g)
+        h = _ntt.coset_interpolate(h_c, g, ti_n)
         n1 = m + 1
         res = (
             Poly(Fp(spec, h.mont[..., :n1]))
@@ -374,11 +385,17 @@ def get_shifted_h(qap: QAP, assignment: Fp, d_ell: int, d_r: int, d_o: int) -> P
     spec = qap.spec
     if hasattr(qap, "r1cs") and hasattr(qap.r1cs, "matvecs"):
         # SparseQAP over the rou domain: fused jitted pipeline
+        from ..ops import ntt as _ntt_mod
+
         u, v, w = qap.r1cs.matvecs(assignment)
         mk = lambda x: Fp.from_int(spec, x % spec.p).mont
+        m, n2 = qap.m, 2 * qap.m
+        tabs = (_ntt_mod.fourstep_tables(spec, m, True)
+                + _ntt_mod.fourstep_tables(spec, n2, False)
+                + _ntt_mod.fourstep_tables(spec, n2, True))
         res = _jitted_shifted_h_rou(spec, qap.m)(
             u.mont, v.mont, w.mont, mk(d_r), mk(d_ell),
-            mk(d_ell * d_r), mk(d_o))
+            mk(d_ell * d_r), mk(d_o), *tabs)
         return Poly(Fp(spec, res))
     h = qap.h_poly(assignment)  # (<= m+1 coeffs)
     ell, r, o = qap.combine(assignment)
@@ -393,9 +410,103 @@ def get_shifted_h(qap: QAP, assignment: Fp, d_ell: int, d_r: int, d_o: int) -> P
     return res
 
 
-def prove(assignment: Fp, pk: PinocchioProofKey, qap: QAP, rng=None
-          ) -> PinocchioProof:
-    """Parity: pinocchio.rs:164-193."""
+def _dist_msm_pad(which: str, points: wst.Point, scalars_std, mesh):
+    """dist_msm with the point count padded to a mesh multiple (repeated
+    first point x zero scalar contributes infinity)."""
+    from ..parallel import mesh as pm
+
+    F, b3 = ((bn254.g1_ops(), bn254.g1_b3(())) if which == "g1"
+             else (bn254.g2_ops(), bn254.g2_b3(())))
+    n = scalars_std.shape[1]
+    D = int(np.prod(list(mesh.shape.values())))
+    n_pad = -(-n // D) * D
+    if n_pad != n:
+        scalars_std = jnp.pad(scalars_std, ((0, 0), (0, n_pad - n)))
+        points = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:, :1], a.shape[:1] + (n_pad - n,))],
+                axis=1), points)
+    return pm.dist_msm(F, b3, points, scalars_std, mesh)
+
+
+def prove_mesh(assignment: Fp, pk: PinocchioProofKey, qap: QAP, mesh,
+               rng=None) -> PinocchioProof:
+    """Mesh-distributed prove: the 8 prover MSMs shard their point batches
+    over the mesh (``dist_msm``: per-device Pippenger + all_gather tree
+    reduction), and the shifted-h pipeline's NTTs ride the mesh axis with
+    ``dist_ntt``'s all_to_all transpose (parallel/mesh.dist_shifted_h_rou).
+    Bit-equal in group-element terms to the single-chip ``prove`` under the
+    same rng (the proof's affine points coincide; SURVEY §5 distributed
+    axes — the reference has no multi-device execution at all).
+
+    Requires a SparseQAP (rou-domain t = X^m - 1) with m >= mesh_size^2.
+    """
+    from ..parallel import mesh as pm
+
+    rng = rng or _random
+    R = bn254.R
+    d_ell, d_r, d_o = (rng.randrange(1, R) for _ in range(3))
+    spec = qap.spec
+    a_std = _std(assignment)
+
+    F1, b31 = bn254.g1_ops(), bn254.g1_b3(())
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+
+    def shift(ts_point, delta):
+        bits = _msm.scalar_bits(
+            _msm.scalars_from_int(bn254.r_spec(), [delta]))
+        g2 = isinstance(ts_point.x, tuple)
+        return _single(wst.scalar_mul_bits(
+            F2 if g2 else F1, b32 if g2 else b31, ts_point, bits))
+
+    def g1_part(vec, ts, delta):
+        acc = _dist_msm_pad("g1", vec, a_std, mesh)
+        return wst.padd(F1, b31, acc, shift(ts, delta))
+
+    def g2_part(vec, ts, delta):
+        acc = _dist_msm_pad("g2", vec, a_std, mesh)
+        return wst.padd(F2, b32, acc, shift(ts, delta))
+
+    g1_ell = g1_part(pk.g1_ell_i, pk.g1_ell_ts, d_ell)
+    g2_r = g2_part(pk.g2_r_i, pk.g2_r_ts, d_r)
+    g1_o = g1_part(pk.g1_o_i, pk.g1_o_ts, d_o)
+    g1_ell_p = g1_part(pk.g1_alpha_ell_i, pk.g1_ell_alpha_ts, d_ell)
+    g2_r_p = g2_part(pk.g2_alpha_r_i, pk.g2_r_alpha_ts, d_r)
+    g1_o_p = g1_part(pk.g1_alpha_o_i, pk.g1_o_alpha_ts, d_o)
+
+    assert hasattr(qap, "r1cs") and hasattr(qap.r1cs, "matvecs"), (
+        "prove_mesh needs a SparseQAP (rou-domain)")
+    u, v, w = qap.r1cs.matvecs(assignment)
+    h_mont = pm.dist_shifted_h_rou(
+        spec, qap.m, u.mont, v.mont, w.mont, d_ell, d_r, d_o, mesh)
+    g1_h = _dist_msm_pad("g1", pk.g1_sj, limb.from_mont(spec, h_mont), mesh)
+
+    z = _dist_msm_pad("g1", pk.g1_checksum, a_std, mesh)
+    for ts, delta in [(pk.g1_ell_beta_ts, d_ell), (pk.g1_r_beta_ts, d_r),
+                      (pk.g1_o_beta_ts, d_o)]:
+        z = wst.padd(F1, b31, z, shift(ts, delta))
+
+    def h1(pt):
+        return bn254.g1_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    def h2(pt):
+        return bn254.g2_points_to_host(
+            jax.tree_util.tree_map(lambda a: a[:, None], pt))[0]
+
+    return PinocchioProof(
+        g1_ell=h1(g1_ell), g2_r=h2(g2_r), g1_o=h1(g1_o),
+        g1_ell_prime=h1(g1_ell_p), g2_r_prime=h2(g2_r_p),
+        g1_o_prime=h1(g1_o_p), g1_h=h1(g1_h), g1_z=h1(z),
+    )
+
+
+def prove(assignment: Fp, pk: PinocchioProofKey, qap: QAP, rng=None,
+          mesh=None) -> PinocchioProof:
+    """Parity: pinocchio.rs:164-193.  With ``mesh`` set, dispatches to the
+    mesh-distributed prover (prove_mesh)."""
+    if mesh is not None:
+        return prove_mesh(assignment, pk, qap, mesh, rng=rng)
     rng = rng or _random
     R = bn254.R
     d_ell, d_r, d_o = (rng.randrange(1, R) for _ in range(3))

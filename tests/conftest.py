@@ -26,10 +26,13 @@ jax.config.update("jax_platforms", "cpu")
 # earlier jaxlib segfault on CPU-executable cache hits under
 # --xla_force_host_platform_device_count no longer reproduces (stress-
 # tested: mesh-heavy + pallas-interpret files, two full passes).
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("MYZKP_TEST_CACHE", "/tmp/jax_myzkp_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# MYZKP_TEST_CACHE=off disables the cache entirely (escape hatch if a
+# jaxlib bump reintroduces the segfault, advisor r3); any other value
+# relocates the directory.
+_cache = os.environ.get("MYZKP_TEST_CACHE", "/tmp/jax_myzkp_test_cache")
+if _cache.lower() != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import pytest  # noqa: E402
 

@@ -196,3 +196,26 @@ def test_dist_sumcheck_fold_and_sum_match_single_chip():
         cur = pm.dist_fold_into_half(spec, cur, mesh, r.mont[:, 0])
         cur_ref = st.fold_into_half(cur_ref, Fp(spec, r.mont[:, 0]))
     assert np.array_equal(np.asarray(cur), np.asarray(cur_ref.mont))
+
+
+@pytest.mark.slow
+def test_dist_pinocchio_prove_matches_single_chip():
+    """Mesh-distributed prove (sharded MSMs + dist_ntt h-pipeline) produces
+    the same group elements as the single-chip prover under the same rng,
+    and the proof verifies."""
+    from myzkp_tpu.arith.sparse import SparseQAP, square_chain
+    from myzkp_tpu.curves import bn254
+    from myzkp_tpu.snark import pinocchio
+
+    mesh = pm.make_mesh(4)
+    spec = bn254.r_spec()
+    r1cs, assignment = square_chain(spec, 16)  # m=16 >= D^2=16
+    qap = SparseQAP(r1cs)
+    pk, vk = pinocchio.setup(qap, rng=random.Random(11))
+    proof_1 = pinocchio.prove(assignment, pk, qap, rng=random.Random(5))
+    proof_m = pinocchio.prove(assignment, pk, qap, rng=random.Random(5),
+                              mesh=mesh)
+    for name in ("g1_ell", "g2_r", "g1_o", "g1_ell_prime", "g2_r_prime",
+                 "g1_o_prime", "g1_h", "g1_z"):
+        assert getattr(proof_m, name) == getattr(proof_1, name), name
+    assert pinocchio.verify(proof_m, vk)

@@ -161,6 +161,8 @@ def test_geometric_series_device_path_matches_host():
     got = np.asarray(nt._geometric_mont(spec, c, n))
     want = nt._geometric_mont_np(spec, c, n)
     assert np.array_equal(got, want)
-    # non-power-of-two length slices correctly
+    # non-power-of-two length slices correctly — compare the FULL n+3
+    # series incl. the tail of the log-doubled table (advisor r3)
     got2 = np.asarray(nt._geometric_mont(spec, c, n + 3))
-    assert np.array_equal(got2[:, : n], want)
+    want2 = nt._geometric_mont_np(spec, c, n + 3)
+    assert np.array_equal(got2, want2)
