@@ -291,6 +291,124 @@ def pdbl_fused(spec: FieldSpec, x, y, z, b3c, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Fused MSM bucket scan over ROW-MAJOR point tiles (G1)
+#
+# The XLA formulation of the K-step segmented bucket scan paid ~4 full-array
+# relayout passes per window group (gathered-rows -> limb planes, the
+# step-major moveaxis, the scan carry round trip, and the flush transpose
+# back to rows — docs/speed_of_light.md "where the excess sits").  This
+# kernel consumes the gathered rows DIRECTLY in step-major order: grid
+# (tiles, K) with K innermost, per step it loads a (1024, 64) row block,
+# transposes it to limb planes in VMEM, applies the negation bit, runs the
+# complete-add + segment-head select against a VMEM-resident accumulator,
+# and streams the pre-add accumulator back out as rows for the bucket
+# scatter.  HBM traffic per group: rows read once, flush written once.
+# ---------------------------------------------------------------------------
+
+_SCAN_LANES = 1024  # points per grid tile: (8, 128) vregs fully occupied
+
+
+@functools.lru_cache(maxsize=None)
+def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
+                             interpret: bool = False):
+    tF = TileFp(spec, use_scratch=not interpret)
+    L = spec.L
+    C = 3 * L
+    T_LANES = _SCAN_LANES
+    S = T_LANES // 128  # 8 sublanes
+
+    def kernel(rows_ref, tag_ref, b3_ref, acc_ref, flush_ref):
+        k = pl.program_id(1)
+
+        one = tF.const(1, jnp.zeros((L, S, 128), jnp.uint32))
+
+        @pl.when(k == 0)
+        def _init():
+            inf = jnp.concatenate(
+                [jnp.zeros((L, S, 128), jnp.uint32), one,
+                 jnp.zeros((L, S, 128), jnp.uint32)], axis=0)
+            acc_ref[...] = inf.reshape(C, S, 128)
+
+        rows = rows_ref[...].reshape(T_LANES, lanes_pad)
+        planes = jnp.swapaxes(rows, 0, 1)  # (lanes_pad, T_LANES)
+
+        def coord(i):
+            return planes[i * L : (i + 1) * L].reshape(L, S, 128)
+
+        qx, qy, qz = coord(0), coord(1), coord(2)
+        tag = tag_ref[...].reshape(S, 128)
+        qy = tF.select((tag & 1) > 0, tF.neg(qy), qy)
+        acc = acc_ref[...]
+        p = (acc[:L], acc[L : 2 * L], acc[2 * L : C])
+        # stream the pre-add accumulator out as rows (the flush candidates;
+        # the caller scatters the real segment flushes by target index)
+        acc_rows = jnp.swapaxes(acc.reshape(C, T_LANES), 0, 1)  # (T, C)
+        if lanes_pad != C:
+            acc_rows = jnp.pad(acc_rows, ((0, 0), (0, lanes_pad - C)))
+        flush_ref[...] = acc_rows.reshape(1, T_LANES, lanes_pad)
+        r = _padd_formula(tF, tF.load(b3_ref), p, (qx, qy, qz))
+        head = (tag >> 1) > 0
+        r = tuple(tF.select(head, qi, ri) for qi, ri in zip((qx, qy, qz), r))
+        acc_ref[...] = jnp.concatenate(r, axis=0).reshape(C, S, 128)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def bucket_scan_rows(spec: FieldSpec, rows_sm, tag, b3c, K: int,
+                     interpret: bool = False):
+    """Segmented bucket scan over step-major gathered point rows.
+
+    rows_sm: (K * N_lanes, lanes_pad) uint32 — point rows in step-major
+    order (step k, lane l at index k*N_lanes + l); tag: (K * N_lanes,)
+    int32 with bit0 = negate-this-point, bit1 = segment head; b3c: (L,)
+    curve constant.  Returns (acc, flush_rows): the per-lane partial sums
+    as limb planes (C, N_lanes) and the pre-add accumulator rows
+    (K * N_lanes, lanes_pad) for the caller's bucket scatter.
+    N_lanes must be a multiple of 1024.
+    """
+    L = spec.L
+    C = 3 * L
+    total, lanes_pad = rows_sm.shape
+    n_lanes = total // K
+    assert n_lanes % _SCAN_LANES == 0 and n_lanes * K == total
+    T = n_lanes // _SCAN_LANES
+    S = _SCAN_LANES // 128
+    rows4 = rows_sm.reshape(K, T * _SCAN_LANES, lanes_pad)
+    tag4 = tag.astype(jnp.int32).reshape(K, T * S, 128)
+    b3b = jnp.broadcast_to(b3c.reshape(L, 1, 1), (L, S, 128))
+    grid = (T, K)
+    acc, flush = pl.pallas_call(
+        _make_bucket_scan_kernel(spec, lanes_pad, interpret),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _SCAN_LANES, lanes_pad), lambda t, k: (k, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda t, k: (k, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, S, 128), lambda t, k: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((C, S, 128), lambda t, k: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SCAN_LANES, lanes_pad), lambda t, k: (k, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, T * S, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((K, T * _SCAN_LANES, lanes_pad),
+                                 jnp.uint32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(rows4, tag4, b3b)
+    return acc.reshape(C, n_lanes), flush.reshape(K * n_lanes, lanes_pad)
+
+
+# ---------------------------------------------------------------------------
 # G2 (Fq2 coordinates: each coord is a (c0, c1) pair of limb arrays)
 # ---------------------------------------------------------------------------
 

@@ -275,6 +275,91 @@ def _bucket_accumulate(F, b3, q: Point, d_sorted, num_buckets: int,
         lambda a: jnp.moveaxis(a, 0, 1).reshape(a.shape[1], -1),
         Point(*flush_pts))
     flush_rows, treedef, C = _rows_of_point(flush_flat)
+    return _merge_lane_partials(F, b3, acc, d2, flush_rows, tgt_flat,
+                                treedef, C, num_buckets, slots, w_off)
+
+
+def _bucket_accumulate_rows(F, b3, spec, b3c, rows, vsort, dsort,
+                            num_buckets: int, K: int,
+                            interpret: bool = False) -> Point:
+    """Fused row-major variant of _bucket_accumulate (G1 only).
+
+    Gathers point rows in STEP-MAJOR order and runs the whole K-step
+    segmented scan as one Pallas kernel (curve_pallas.bucket_scan_rows):
+    the gathered copy is read once and the flush stream written once, vs
+    ~4 extra full-array relayout passes in the XLA scan formulation
+    (rows->planes transpose, step-major moveaxis, per-step carry round
+    trip, flush planes->rows transpose)."""
+    G, n_pad = dsort.shape
+    B = n_pad // K
+    slots = num_buckets + 1
+    w_off = (jnp.arange(G) * slots)[:, None]
+
+    d2 = dsort.reshape(G, B, K)
+    prev = jnp.concatenate([d2[..., :1], d2[..., :-1]], axis=-1)
+    head = jnp.concatenate(
+        [jnp.ones((G, B, 1), bool), d2[..., 1:] != d2[..., :-1]], axis=-1)
+
+    def sm(x):  # (G, B, K) -> (K, G*B) step-major
+        return jnp.moveaxis(x, 2, 0).reshape(K, G * B)
+
+    v2 = vsort.reshape(G, B, K)
+    idx_sm = sm(v2 >> 1)
+    g_rows = jnp.take(rows, idx_sm.reshape(-1), axis=0, mode="clip")
+    tag = (sm(v2 & 1) | (sm(head.astype(jnp.int32)) << 1)).reshape(-1)
+    acc_planes, flush_rows = curve_pallas.bucket_scan_rows(
+        spec, g_rows, tag, b3c, K, interpret)
+    L = spec.L
+    acc = Point(acc_planes[:L].reshape(L, G, B),
+                acc_planes[L : 2 * L].reshape(L, G, B),
+                acc_planes[2 * L :].reshape(L, G, B))
+    # flush targets in the same step-major order as flush_rows
+    def dummy_tgt(real_tgt, flush):
+        return jnp.where(flush, real_tgt, num_buckets) + w_off[:, :, None]
+
+    flush = head & (prev > 0)
+    tgt_flat = sm(dummy_tgt(prev, flush)).reshape(-1)
+    _, treedef, C = _rows_of_point(wst.infinity(F, (1,)))
+    return _merge_lane_partials(F, b3, acc, d2, flush_rows, tgt_flat,
+                                treedef, C, num_buckets, slots, w_off)
+
+
+def _seg_scan_hs(F, b3, pts: Point, head) -> Point:
+    """Segmented inclusive prefix-sum across the lane axis (Hillis-Steele).
+
+    pts: point batch with leaves (L, G, B); head: (G, B) bool segment-head
+    flags.  Every level is one FULL-width fused complete-add (one compiled
+    shape reused log2(B) times) plus rolls and selects; identity for the
+    out-of-range left neighbor is (infinity, no-flag)."""
+    leaf0 = jax.tree_util.tree_leaves(pts)[0]
+    B = leaf0.shape[-1]
+    lane = jnp.arange(B)
+    x, flags = pts, head
+    d = 1
+    while d < B:
+        valid = (lane >= d)[None, :]
+        xs = _point_map(lambda a: jnp.roll(a, d, axis=-1), x)
+        inf = wst.infinity(F, head.shape)
+        xs = wst.pselect(F, valid, xs, inf)
+        fs = jnp.roll(flags, d, axis=-1) & valid
+        added = wst.padd(F, b3, xs, x)
+        x = wst.pselect(F, flags, x, added)
+        flags = flags | fs
+        d *= 2
+    return x
+
+
+def _merge_lane_partials(F, b3, acc: Point, d2, flush_rows, tgt_flat,
+                         treedef, C: int, num_buckets: int, slots: int,
+                         w_off) -> Point:
+    """Shared tail of the bucket accumulation: scatter the mid-segment
+    flushes, merge the end-of-lane partials (segmented sum across lanes in
+    sorted order), and land the segment-end totals in their buckets."""
+    G, B, K = d2.shape
+
+    def dummy_tgt(real_tgt, flush):
+        return jnp.where(flush, real_tgt, num_buckets) + w_off
+
     bk0_rows, _, _ = _rows_of_point(
         wst.infinity(F, (G * slots,)), lanes=flush_rows.shape[1])
     bk_rows = bk0_rows.at[tgt_flat].set(flush_rows, mode="drop")
@@ -294,10 +379,21 @@ def _bucket_accumulate(F, b3, q: Point, d_sorted, num_buckets: int,
         v = wst.pselect(F, f2[0] > 0, Point(*v2), added)
         return tuple(v) + (f1 | f2,)
 
-    leaves = tuple(acc) + (seg_head.astype(jnp.uint32),)
-    with _shape_diverse_ctx(F):  # log-depth levels: one kernel shape each
-        scanned = jax.lax.associative_scan(comb, leaves, axis=2)
-    seg_total = Point(*scanned[:-1])
+    from .field_ops import Fq2Ops
+
+    if (curve_pallas.enabled() and not isinstance(F, Fq2Ops)
+            and B >= (1 << 10)):
+        # Hillis-Steele segmented scan: log2(B) levels at CONSTANT width —
+        # the fused complete-add compiles ONCE, vs one Mosaic lowering per
+        # halving level of associative_scan.  Work is B log B adds instead
+        # of 2B, a few ms at 2^14 lanes — bought back many times over in
+        # (cold) compile time, which measured ~an hour for this program.
+        seg_total = _seg_scan_hs(F, b3, acc, seg_head[0] > 0)
+    else:
+        leaves = tuple(acc) + (seg_head.astype(jnp.uint32),)
+        with _shape_diverse_ctx(F):  # log-depth levels: one shape each
+            scanned = jax.lax.associative_scan(comb, leaves, axis=2)
+        seg_total = Point(*scanned[:-1])
     is_end = jnp.concatenate(
         [d_end[:, :-1] != d_end[:, 1:], jnp.ones((G, 1), bool)], axis=-1)
     tgt = dummy_tgt(d_end, is_end).reshape(-1)  # (G*B,)
@@ -316,6 +412,25 @@ def _bucket_accumulate(F, b3, q: Point, d_sorted, num_buckets: int,
 # kernel launches and the bit-decomposition base case takes over.
 _WSUM_BASE_C = 5
 
+# Fused-kernel width floor for the bucket-combination phase: every distinct
+# fused-add SHAPE pays Mosaic lowering + remote compile, and the halving
+# trees here mint one shape per level.  Below this many batch elements the
+# math is microseconds either way, so narrow levels run pure-JAX — capping
+# the MSM program's shape count (its cold compile measured ~an hour).
+_FUSE_MIN_ELEMS = 1 << 13
+
+
+def _maybe_no_fuse(F, elems: int):
+    """no_fuse() below the width floor (or for Fq2, whose kernel lowers in
+    minutes per shape), else a null context."""
+    import contextlib
+
+    from .field_ops import Fq2Ops
+
+    if isinstance(F, Fq2Ops) or elems < _FUSE_MIN_ELEMS:
+        return curve_pallas.no_fuse()
+    return contextlib.nullcontext()
+
 
 def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
     """sum_{b=1}^{2^c-1} b * B_b, batched over G windows.
@@ -333,28 +448,34 @@ def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
     (inductively down to the base case, whose bit masks exclude it).
     buckets: (G, 2^c) point batch; returns a (G,) point batch.
     """
+    Gw = jax.tree_util.tree_leaves(buckets)[0].shape[1]
     if c > _WSUM_BASE_C:
         k = c // 2
         hi_n, lo_n = 1 << (c - k), 1 << k
         grid = _point_map(
             lambda a: a.reshape(a.shape[0], a.shape[1], hi_n, lo_n), buckets)
-        rows = wst.tree_sum(F, b3, grid, axis=2)  # (G, hi_n): sum over lo
-        cols = wst.tree_sum(F, b3, grid, axis=1)  # (G, lo_n): sum over hi
+        fm = _FUSE_MIN_ELEMS
+        rows = wst.tree_sum(F, b3, grid, axis=2,
+                            fuse_min_elems=fm)  # (G, hi_n): sum over lo
+        cols = wst.tree_sum(F, b3, grid, axis=1,
+                            fuse_min_elems=fm)  # (G, lo_n): sum over hi
         s_hi = _weighted_bucket_sum(F, b3, rows, c - k)
         s_lo = _weighted_bucket_sum(F, b3, cols, k)
-        for _ in range(k):
-            s_hi = wst.pdbl(F, b3, s_hi)
-        return wst.padd(F, b3, s_hi, s_lo)
+        with _maybe_no_fuse(F, Gw):
+            for _ in range(k):
+                s_hi = wst.pdbl(F, b3, s_hi)
+            return wst.padd(F, b3, s_hi, s_lo)
     num = 1 << c
     idx = jnp.arange(num)
     bitmask = ((idx[None, :] >> jnp.arange(c)[:, None]) & 1) == 1  # (c, num)
     stacked = _point_map(
         lambda a: jnp.broadcast_to(
             a[:, :, None, :], a.shape[:2] + (c, num)), buckets)
-    G = jax.tree_util.tree_leaves(buckets)[0].shape[1]
-    inf_wide = wst.infinity(F, (G, c, num))
-    sel = wst.pselect(F, bitmask[None], stacked, inf_wide)
-    totals = wst.tree_sum(F, b3, sel, axis=2)  # (G, c) per-bit sums T_j
+    with _maybe_no_fuse(F, Gw * c * num):
+        inf_wide = wst.infinity(F, (Gw, c, num))
+        sel = wst.pselect(F, bitmask[None], stacked, inf_wide)
+        totals = wst.tree_sum(F, b3, sel, axis=2,
+                              fuse_min_elems=_FUSE_MIN_ELEMS)
 
     def body(k, acc):
         j = c - 1 - k  # high bit first
@@ -363,7 +484,8 @@ def _weighted_bucket_sum(F, b3, buckets: Point, c: int) -> Point:
             totals)
         return wst.padd(F, b3, wst.pdbl(F, b3, acc), Point(*tj))
 
-    return jax.lax.fori_loop(0, c, body, wst.infinity(F, (G,)))
+    with _maybe_no_fuse(F, Gw):
+        return jax.lax.fori_loop(0, c, body, wst.infinity(F, (Gw,)))
 
 
 def _next_pow2(x: int) -> int:
@@ -380,7 +502,8 @@ def _group_size(n_pad: int, W: int, slots: int = 0) -> int:
 
 def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
                   K: int | None = None, G: int | None = None,
-                  signed: bool = True) -> Point:
+                  signed: bool = True, _rows_scan: bool | None = None
+                  ) -> Point:
     """sum_i [s_i] P_i. points: (n,) batch; s_limbs: uint32 (L, n) standard
     domain. Returns a single (unbatched) projective point.
 
@@ -457,8 +580,28 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         jnp.int32)
     d_sorted, v_sorted = jax.lax.sort_key_val(digits, vals, dimension=1)
 
+    # Fused row-major scan path (G1): the gathered copy is consumed
+    # directly by one Pallas kernel, skipping ~4 full-array relayout
+    # passes per group.  Requires Fp coordinates (3 leaves), the fused
+    # kernels enabled, and a lane count filling whole (8, 128) tiles.
+    lanes_ok = (len(jax.tree_util.tree_leaves(points)) == 3
+                and (G * n_pad // K) % curve_pallas._SCAN_LANES == 0)
+    # _rows_scan: None = auto (on TPU with fused kernels), True = force
+    # (interpret mode off-TPU, the test seam), False = never
+    if _rows_scan is None:
+        use_rows_scan = lanes_ok and curve_pallas.enabled()
+        scan_interpret = False
+    else:
+        use_rows_scan = lanes_ok and _rows_scan
+        scan_interpret = _rows_scan and not curve_pallas.enabled()
+
     def group_body(carry, xs):
         dsort, vsort = xs  # (G, n_pad)
+        if use_rows_scan:
+            buckets = _bucket_accumulate_rows(
+                F, b3, F.spec, b3, rows, vsort, dsort, num_buckets, K,
+                scan_interpret)
+            return carry, tuple(buckets)
         perm = vsort >> 1
         g_rows = jnp.take(rows, perm.reshape(-1), axis=0, mode="clip")
         # back to limb-major planes: one XLA relayout of the gathered copy
@@ -489,9 +632,10 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
             main = _point_map(lambda a: a[..., :half], buckets)
             top = _point_map(lambda a: a[..., half], buckets)
             s_w = _weighted_bucket_sum(F, b3, main, c - 1)
-            for _ in range(c - 1):
-                top = wst.pdbl(F, b3, top)
-            s_w = wst.padd(F, b3, s_w, top)
+            with _maybe_no_fuse(F, W_pad):  # (W_pad,)-narrow tail ops
+                for _ in range(c - 1):
+                    top = wst.pdbl(F, b3, top)
+                s_w = wst.padd(F, b3, s_w, top)
         else:
             s_w = _weighted_bucket_sum(F, b3, buckets, c)  # (W_pad,) batch
     # leaves (L, W_pad) -> (W_pad, L) so the Horner scan walks windows
@@ -505,9 +649,10 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
         return wst.padd(F, b3, res, Point(*s_w)), None
 
     rev = _point_map(lambda a: jnp.flip(a, axis=0), window_sums)
-    res, _ = jax.lax.scan(
-        lambda r, s: final_body(r, s), res, tuple(rev)
-    )
+    with _maybe_no_fuse(F, 1):  # single-point Horner chain: never fuse
+        res, _ = jax.lax.scan(
+            lambda r, s: final_body(r, s), res, tuple(rev)
+        )
     return res
 
 

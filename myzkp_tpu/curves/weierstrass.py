@@ -240,13 +240,21 @@ def scalar_mul_bits(F, b3, p: Point, bits) -> Point:
     return acc
 
 
-def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
+def tree_sum(F, b3, p: Point, axis: int = 0,
+             fuse_min_elems: int = 0) -> Point:
     """EC sum of a point batch along an axis: halving reduction, O(n) adds.
 
     Each level adds the top half onto the bottom half (one batched
     complete-add per level, fused into one kernel launch on TPU), so total
     work is n + n/2 + ... = 2n adds — not the n log n of a full-width
     roll-reduce.  Non-power-of-two sizes are padded with infinity.
+
+    ``fuse_min_elems`` > 0 routes levels whose batch drops below that many
+    elements through the pure-JAX path: every fused-kernel SHAPE costs
+    Mosaic lowering + remote-compile time, and a halving tree mints one
+    shape per level — capping fusion at the wide levels keeps ~all the
+    runtime win at a fraction of the compile cost (the narrow levels'
+    math is microseconds either way).
     """
     ax = _leaf_axis(axis)
     leaf0 = jax.tree_util.tree_leaves(p)[0]
@@ -264,11 +272,15 @@ def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
                 axis=ax),
             p, inf)
 
+    import contextlib
+    import math
+
     from . import curve_pallas
 
     if curve_pallas.enabled():
         # TPU: halving levels, each ONE fused-kernel complete-add; total
         # work 2n adds.
+        other = math.prod(leaf0.shape[1:]) // max(1, n)
         m = n2
         while m > 1:
             m //= 2
@@ -276,7 +288,11 @@ def tree_sum(F, b3, p: Point, axis: int = 0) -> Point:
                 lambda a: jax.lax.slice_in_dim(a, 0, m, axis=ax), p)
             hi = jax.tree_util.tree_map(
                 lambda a: jax.lax.slice_in_dim(a, m, 2 * m, axis=ax), p)
-            p = padd(F, b3, Point(*lo), Point(*hi))
+            ctx = (curve_pallas.no_fuse()
+                   if 0 < m * other < fuse_min_elems
+                   else contextlib.nullcontext())
+            with ctx:
+                p = padd(F, b3, Point(*lo), Point(*hi))
         return jax.tree_util.tree_map(
             lambda a: jax.lax.index_in_dim(a, 0, axis=ax, keepdims=False), p)
 

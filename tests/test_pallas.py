@@ -263,3 +263,52 @@ def test_ntt_recursive_core_matches_single_level():
     assert np.array_equal(
         np.asarray(nt._ntt_core_recursive(spec, b, False)),
         np.asarray(nt._ntt_core_small(spec, b, False)))
+
+
+@pytest.mark.slow  # interpret-mode padd emulation; the lowering is golden-
+# checked on-chip by bench.py's rows-path msm golden each run
+def test_bucket_scan_rows_kernel_matches_host():
+    """curve_pallas.bucket_scan_rows (interpret mode) vs a host-simulated
+    segmented scan: per-lane accumulators and the flush stream must match
+    as group elements (projective representations differ by construction,
+    so compare affine via the host conversion)."""
+    import jax.numpy as jnp
+
+    from myzkp_tpu.curves import bn254, curve_pallas, msm as m, \
+        weierstrass as wst
+
+    rng = random.Random(23)
+    qspec = bn254.q_spec()
+    g1 = bn254.g1_generator()
+    N, K = 1024, 2
+    mults = [rng.randrange(1, 1 << 30) for _ in range(K * N)]
+    host_pts = [g1 * v for v in mults]
+    dev_pts = bn254.g1_points_to_device(host_pts)
+    rows, treedef, C = m._rows_of_point(dev_pts)
+    # step-major layout: step k, lane l at index k*N + l (already so)
+    tags = [rng.randrange(4) for _ in range(K * N)]
+    tags[:7] = [0, 1, 2, 3, 2, 1, 0]  # pin all combinations early
+
+    acc_p, flush = curve_pallas.bucket_scan_rows(
+        bn254.q_spec(), rows, jnp.asarray(tags, jnp.int32),
+        bn254.g1_b3(()), K, True)
+
+    # host simulation
+    inf = bn254.curve_g1.infinity()
+    acc_h = [inf] * N
+    flush_h = []
+    for k in range(K):
+        for l in range(N):
+            t = tags[k * N + l]
+            flush_h.append(acc_h[l])
+            q = host_pts[k * N + l]
+            if t & 1:
+                q = -q
+            acc_h[l] = q if (t >> 1) & 1 else acc_h[l] + q
+    L = qspec.L
+    got_acc = bn254.g1_points_to_host(wst.Point(
+        acc_p[:L], acc_p[L:2 * L], acc_p[2 * L:]))
+    assert got_acc == acc_h
+    got_flush = bn254.g1_points_to_host(
+        m._point_of_rows(flush, treedef, C, (K * N,)))
+    assert got_flush == flush_h
