@@ -150,16 +150,30 @@ def _h_coeffs(qap: QAP, assignment: Fp) -> Fp:
     return Fp(spec, jnp.pad(h.mont, pad))
 
 
-def prove(assignment: Fp, pk: Groth16ProvingKey, qap: QAP, rng=None
-          ) -> Groth16Proof:
+def prove(assignment: Fp, pk: Groth16ProvingKey, qap: QAP, rng=None,
+          mesh=None) -> Groth16Proof:
     """A = alpha + u(x) + r delta;  B = beta + v(x) + s delta;
-    C = (sum_priv a_i K_i + h(x) t(x))/delta + s A + r B1 - r s delta."""
+    C = (sum_priv a_i K_i + h(x) t(x))/delta + s A + r B1 - r s delta.
+
+    With ``mesh`` set, the five prover MSMs run as dist_msm over the
+    device mesh (same machinery as pinocchio.prove_mesh)."""
     rng = rng or _random
     R = bn254.R
     r_rand, s_rand = rng.randrange(1, R), rng.randrange(1, R)
     spec = qap.spec
     F1, b31 = bn254.g1_ops(), bn254.g1_b3(())
     F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+
+    if mesh is not None:
+        from .pinocchio import _dist_msm_pad
+
+        def _msm_g1(vec, sl):  # noqa: F811 — mesh-sharded shadows
+            return _dist_msm_pad("g1", vec, sl, mesh)
+
+        def _msm_g2(vec, sl):  # noqa: F811
+            return _dist_msm_pad("g2", vec, sl, mesh)
+    else:
+        from .pinocchio import _msm_g1, _msm_g2  # noqa: F811
 
     u_p, v_p, _ = qap.combine(assignment)  # (m,) coefficient polys
     a_std = _std(assignment)

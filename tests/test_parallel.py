@@ -219,3 +219,23 @@ def test_dist_pinocchio_prove_matches_single_chip():
                  "g1_o_prime", "g1_h", "g1_z"):
         assert getattr(proof_m, name) == getattr(proof_1, name), name
     assert pinocchio.verify(proof_m, vk)
+
+
+@pytest.mark.slow
+def test_dist_groth16_prove_matches_single_chip():
+    """Groth16 with mesh-sharded MSMs == single-chip proof, and verifies."""
+    from myzkp_tpu.arith.sparse import SparseQAP, square_chain
+    from myzkp_tpu.curves import bn254
+    from myzkp_tpu.snark import groth16
+
+    mesh = pm.make_mesh(4)
+    spec = bn254.r_spec()
+    r1cs, assignment = square_chain(spec, 16)
+    qap = SparseQAP(r1cs)
+    pk, vk = groth16.setup(qap, num_public=2, rng=random.Random(3))
+    p1 = groth16.prove(assignment, pk, qap, rng=random.Random(9))
+    pm_proof = groth16.prove(assignment, pk, qap, rng=random.Random(9),
+                             mesh=mesh)
+    assert p1.a == pm_proof.a and p1.b == pm_proof.b and p1.c == pm_proof.c
+    pub = [int(v) for v in assignment.to_int()[:2]]
+    assert groth16.verify(pm_proof, vk, pub)
