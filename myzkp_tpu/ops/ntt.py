@@ -186,11 +186,14 @@ _FOURSTEP_MIN_N = 1 << 14
 # Leaf sub-transform length for the recursive decomposition.  On TPU a leaf
 # runs as ONE fused Pallas kernel: all log2(m) stages per (m, 128) tile in
 # VMEM (limb_pallas.ntt_leaf_pallas), so each leaf costs a single HBM
-# read+write pass.  m = 256 OOMs scoped VMEM (24.8M vs the 16M limit: the
-# (L, m, 128) tile is 2 MB and ~12 stage/scratch buffers are live at peak);
-# m = 128 leaves headroom.  Off-TPU the leaf is the per-stage Stockham
-# fallback.
-_FUSED_LEAF_M = 128
+# read+write pass.  m = 128 is the measured sweet spot under the default
+# scoped-VMEM budget; larger leaves (fewer levels -> fewer HBM passes) are
+# experimentable via MYZKP_NTT_LEAF_M now that the kernel raises its VMEM
+# limit — a 2^20 transform with m = 1024 would be 2 leaf passes instead
+# of 3.  Off-TPU the leaf is the per-stage Stockham fallback.
+import os as _os
+
+_FUSED_LEAF_M = int(_os.environ.get("MYZKP_NTT_LEAF_M", 128))
 
 # Use the fused leaf kernel only when the per-call batch fills tiles.
 _FUSED_LEAF_MIN_ELEMS = 1 << 14
