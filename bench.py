@@ -467,17 +467,25 @@ def bench_msm(extra):
     print("# msm golden @512 OK", file=sys.stderr)
 
     # same golden through the fused rows-scan kernel path (G*n/K = 1024
-    # lanes forces it): pins the bucket_scan_rows Mosaic lowering on-chip
-    got_r = msm.msm_pippenger(
-        F, b3, jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
-        scalars[:, :n_small], c=8, G=4, K=2, _rows_scan=True)
-    got_r_host = bn254.g1_points_to_host(
-        jax.tree_util.tree_map(lambda c: c[:, None], got_r))[0]
-    extra["bitcheck_msm_rows_scan"] = bool(got_r_host == exp)
-    if not extra["bitcheck_msm_rows_scan"]:
-        extra["_msm_golden_failed"] = True
-        return
-    print("# msm rows-scan golden @512 OK", file=sys.stderr)
+    # lanes forces it): pins the bucket_scan_rows Mosaic lowering on-chip.
+    # A failure DISABLES the rows path (msm.ROWS_SCAN_AUTO) rather than
+    # aborting — the proven XLA-scan formulation carries the run.
+    try:
+        got_r = msm.msm_pippenger(
+            F, b3, jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
+            scalars[:, :n_small], c=8, G=4, K=2, _rows_scan=True)
+        got_r_host = bn254.g1_points_to_host(
+            jax.tree_util.tree_map(lambda c: c[:, None], got_r))[0]
+        extra["bitcheck_msm_rows_scan"] = bool(got_r_host == exp)
+    except Exception as e:
+        extra["bitcheck_msm_rows_scan"] = f"error: {type(e).__name__}"[:80]
+    if extra["bitcheck_msm_rows_scan"] is not True:
+        msm.ROWS_SCAN_AUTO = False
+        extra["rows_scan_disabled"] = True
+        print("# msm rows-scan golden FAILED -> falling back to XLA scan",
+              file=sys.stderr)
+    else:
+        print("# msm rows-scan golden @512 OK", file=sys.stderr)
 
     # Time the PROVER'S OWN jitted MSM program (snark.pinocchio._jitted_msm)
     # so the heavy phase pays ONE cold 2^20-Pippenger compile for both the

@@ -589,7 +589,7 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     # _rows_scan: None = auto (on TPU with fused kernels), True = force
     # (interpret mode off-TPU, the test seam), False = never
     if _rows_scan is None:
-        use_rows_scan = lanes_ok and curve_pallas.enabled()
+        use_rows_scan = lanes_ok and ROWS_SCAN_AUTO and curve_pallas.enabled()
         scan_interpret = False
     else:
         use_rows_scan = lanes_ok and _rows_scan
@@ -659,6 +659,11 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
 # ---------------------------------------------------------------------------
 # Convenience wrappers (G1 over BN254 etc.)
 # ---------------------------------------------------------------------------
+
+# Kill switch for the fused rows-scan path (bench.py flips it off if the
+# on-chip rows golden fails, so a kernel regression degrades to the proven
+# XLA-scan formulation instead of killing the run).
+ROWS_SCAN_AUTO = True
 
 # Below this size the bucket machinery can't beat one 256-step double-and-add
 # ladder, and its much larger XLA program isn't worth compiling (deep-unrolled
