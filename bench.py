@@ -180,6 +180,33 @@ def main():
         signal.signal(s, handler)
     signal.alarm(max(1, int(BUDGET_S)))
 
+    # Phase 0: relay-health probe.  A SIGKILLed client mid-remote-compile
+    # wedges the relay for every new connection until the abandoned
+    # server-side compile finishes (measured: hours) — a tiny jax op in a
+    # subprocess distinguishes "relay wedged" from "our programs are slow"
+    # and waits a bounded window for recovery instead of burning the whole
+    # budget on a doomed phase.
+    probe_deadline = time.perf_counter() + min(900.0, BUDGET_S / 3)
+    probe_src = ("import jax, numpy; jax.devices(); "
+                 "numpy.asarray(jax.numpy.arange(4)); print('ok')")
+    t_probe = time.perf_counter()
+    healthy = False
+    while time.perf_counter() < probe_deadline:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, timeout=90, text=True)
+            if "ok" in r.stdout:
+                healthy = True
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20)
+    STATE["extra"]["relay_probe_s"] = round(time.perf_counter() - t_probe, 1)
+    if not healthy:
+        STATE["extra"]["relay_unreachable"] = True
+        _emit("relay_unreachable")
+        return
+
     # Phase group 1: bitchecks + mont_mul + NTT (light; all programs cached
     # from prior runs in the steady state).
     if not {"bitcheck", "mont_mul", "ntt"} <= SKIP:
