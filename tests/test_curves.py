@@ -318,3 +318,23 @@ def test_msm_resumable_checkpoint(tmp_path, msm_instance):
     got = ckpt.msm_resumable(F, b3, dev, sl, path, chunk=16)
     assert _to_host_single(got) == exp
     assert not (tmp_path / "msm.npz").exists()  # cleaned up on completion
+
+
+def test_fixed_base_multi_matches_host():
+    """Windowed-table fixed-base multiplier (the trusted-setup engine) vs
+    host double-and-add, both groups, incl. 0 / 1 / r-1 edge scalars."""
+    import os
+
+    from myzkp_tpu.curves import bn254, fixed_base, msm
+
+    os.environ.setdefault("MYZKP_TABLE_CACHE", "/tmp/myzkp_fixed_base")
+    rng = random.Random(31)
+    ks = [0, 1, 2, bn254.R - 1] + [rng.randrange(bn254.R) for _ in range(4)]
+    sl = msm.scalars_from_int(bn254.r_spec(), ks)
+    for which, gen, to_host in (
+            ("g1", bn254.g1_generator(), bn254.g1_points_to_host),
+            ("g2", bn254.g2_generator(), bn254.g2_points_to_host)):
+        got = to_host(fixed_base.fixed_base_multi(which, sl))
+        exp = [gen * k for k in ks]
+        for g, e in zip(got, exp):
+            assert g == e
