@@ -625,12 +625,17 @@ def bench_qap(extra, deadline, qap_log=None):
     pk_path, vk_path = _qap_cache_paths(qap_log)
     cached = os.path.exists(pk_path) and os.path.exists(vk_path)
     if cached:
-        pk = serialize.load_pinocchio_pk(pk_path)
-        vk = serialize.load_pinocchio_vk(vk_path)
-        extra[tag + "_setup_cached"] = True
-        t2 = time.perf_counter()
-        extra[tag + "_setup_load_s"] = round(t2 - t1, 3)
-    else:
+        try:
+            pk = serialize.load_pinocchio_pk(pk_path)
+            vk = serialize.load_pinocchio_vk(vk_path)
+        except Exception as e:  # corrupt/stale cache -> regenerate
+            extra[tag + "_setup_load_error"] = f"{type(e).__name__}"[:80]
+            cached = False
+        else:
+            extra[tag + "_setup_cached"] = True
+            t2 = time.perf_counter()
+            extra[tag + "_setup_load_s"] = round(t2 - t1, 3)
+    if not cached:
         if time.perf_counter() > deadline - 240:
             extra[tag + "_skipped"] = "no time for setup"
             return
@@ -638,14 +643,25 @@ def bench_qap(extra, deadline, qap_log=None):
         _fetch(pk.g1_sj.x)
         t2 = time.perf_counter()
         extra[tag + "_setup_s"] = round(t2 - t1, 3)
-        try:
-            os.makedirs(KEYS_DIR, exist_ok=True)
-            serialize.save_pinocchio_pk(pk_path, pk)
-            serialize.save_pinocchio_vk(vk_path, vk)
-            extra[tag + "_setup_saved_s"] = round(
-                time.perf_counter() - t2, 3)
-        except OSError as e:
-            extra[tag + "_setup_save_error"] = str(e)[:120]
+
+        # Persist in a BACKGROUND thread: the device->host fetch of a
+        # 2^20 proving key rides the relay at ~1.4 MB/s (measured 61 s
+        # for the 84 MB 2^16 key), which would cost the prove its whole
+        # remaining budget if serialized on the critical path.  numpy
+        # fetches release the GIL, so the prove continues unimpeded.
+        def _save_keys():
+            try:
+                os.makedirs(KEYS_DIR, exist_ok=True)
+                serialize.save_pinocchio_pk(pk_path, pk)
+                serialize.save_pinocchio_vk(vk_path, vk)
+                extra[tag + "_setup_saved_s"] = round(
+                    time.perf_counter() - t2, 3)
+            except Exception as e:
+                extra[tag + "_setup_save_error"] = str(e)[:120]
+        import threading
+        th = threading.Thread(target=_save_keys, daemon=True)
+        th.start()
+        _SAVE_THREADS.append(th)
     print(f"# {tag}: keys ready ({time.perf_counter()-t1:.1f}s, "
           f"cached={cached})", file=sys.stderr)
 
@@ -703,6 +719,9 @@ def bench_qap(extra, deadline, qap_log=None):
                 f.write("ok\n")
 
 
+_SAVE_THREADS: list = []
+
+
 def child_main(phases: str, progress_path: str, budget: float):
     prog = Progress(progress_path)
 
@@ -751,6 +770,11 @@ def child_main(phases: str, progress_path: str, budget: float):
     except Exception as e:
         extra["phase_error"] = f"{type(e).__name__}: {e}"[:300]
         raise
+    finally:
+        # let an in-flight background key save land (bounded by what's
+        # left of the budget; the tmp+rename write is atomic either way)
+        for th in _SAVE_THREADS:
+            th.join(timeout=max(5.0, deadline - time.perf_counter()))
 
 
 if __name__ == "__main__":

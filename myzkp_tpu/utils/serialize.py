@@ -11,6 +11,7 @@ generated once and reloaded across runs.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +34,13 @@ def save_point_batches(path: str, **named_points) -> None:
             # record whether coords are tuples (Fq2) by leaf count
         else:
             out[f"arr:{name}"] = np.asarray(val)
-    np.savez_compressed(path, **out)
+    # Uncompressed (coordinates are Montgomery-domain limbs, effectively
+    # incompressible) and atomic: a reader never sees a partial file even
+    # if the writer is killed mid-save (bench.py saves from a background
+    # thread that may outlive its budget).
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
 
 
 def load_point_batches(path: str) -> dict:

@@ -125,3 +125,27 @@ def test_msm_g1_pow2_tail_split():
         jax.tree_util.tree_map(lambda a: a[:, None], got))[0]
     exp = g * (sum(k * m for k, m in zip(ks, ms)) % bn254.R)
     assert host == exp
+
+
+def test_pinocchio_key_roundtrip(r1cs, tmp_path):
+    """Setup -> save -> load -> prove with the LOADED key -> verify.
+
+    Pins the checkpoint path bench.py's north-star phase depends on
+    (utils/serialize.py; the reference has no persistence, SURVEY.md §5).
+    """
+    from myzkp_tpu.utils import serialize
+
+    spec = bn254.r_spec()
+    rng = random.Random(7)
+    qap = QAP.from_r1cs(r1cs)
+    pk, vk = pin.setup(qap, rng=rng)
+    pk_path = str(tmp_path / "pk.npz")
+    vk_path = str(tmp_path / "vk.json")
+    serialize.save_pinocchio_pk(pk_path, pk)
+    serialize.save_pinocchio_vk(vk_path, vk)
+    pk2 = serialize.load_pinocchio_pk(pk_path)
+    vk2 = serialize.load_pinocchio_vk(vk_path)
+    proof = pin.prove(Fp.from_int(spec, WITNESS), pk2, qap, rng=rng)
+    assert pin.verify(proof, vk2)
+    bad = pin.prove(Fp.from_int(spec, WRONG), pk2, qap, rng=rng)
+    assert not pin.verify(bad, vk2)
