@@ -218,6 +218,16 @@ def main():
     # process so the prover's 2^20 Pippenger trace is paid once).
     if _remaining() > 90:
         _run_phase("heavy", max(60.0, _remaining() - 45))
+    # QAP retry in a FRESH process: the relay's tpu_compile_helper has
+    # twice 500'd on setup's first compile when issued from a session
+    # that already compiled the 2^20 MSM programs, while the identical
+    # setup compiles cleanly from a fresh process (measured 2026-08-21).
+    # If the in-process attempt died that way, isolate and retry.
+    qap_missing = (f"qap_2^{QAP_LOG}_prove_s" not in STATE["extra"]
+                   and "qap" not in SKIP)
+    if qap_missing and "500" in str(STATE["extra"].get("qap_error", "")) \
+            and _remaining() > 600:
+        _run_phase("qap", max(60.0, _remaining() - 45))
     _emit()
 
 
@@ -749,8 +759,10 @@ def child_main(phases: str, progress_path: str, budget: float):
                 bench_mont_mul(extra)
             if "ntt" not in SKIP:
                 bench_ntt(extra)
-        elif phases == "heavy":
-            if "msm" not in SKIP:
+        elif phases in ("heavy", "qap"):
+            if phases == "qap":
+                extra["qap_retry_fresh_process"] = True
+            if phases == "heavy" and "msm" not in SKIP:
                 bench_msm(extra)
                 if extra.get("_msm_golden_failed"):
                     return
@@ -758,7 +770,7 @@ def child_main(phases: str, progress_path: str, budget: float):
                 try:
                     bench_qap(extra, deadline)
                 except Exception as e:  # keep the headline on qap failure
-                    extra["qap_error"] = f"{type(e).__name__}: {e}"[:200]
+                    extra["qap_error"] = f"{type(e).__name__}: {e}"[:500]
                 if (QAP_LOG > 16
                         and f"qap_2^{QAP_LOG}_prove_s" not in extra
                         and time.perf_counter() < deadline - 240):
