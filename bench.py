@@ -649,8 +649,24 @@ def bench_qap(extra, deadline, qap_log=None):
         if time.perf_counter() > deadline - 240:
             extra[tag + "_skipped"] = "no time for setup"
             return
-        pk, vk = pinocchio.setup(qap, rng=rng)
-        _fetch(pk.g1_sj.x)
+        # The relay's tpu_compile_helper 500s intermittently (observed on
+        # three different pool ports for the same program that also
+        # compiles cleanly); a failed attempt dies in ~seconds, so retry
+        # with fresh rng state each time (the draws must match the
+        # single-attempt sequence for reproducibility, so re-seed).
+        for attempt in range(4):
+            rng_a = random.Random(42)  # replay the setup draw sequence
+            try:
+                pk, vk = pinocchio.setup(qap, rng=rng_a)
+                _fetch(pk.g1_sj.x)
+                break
+            except Exception as e:
+                msg = f"{type(e).__name__}: {e}"
+                extra[tag + f"_setup_try{attempt}"] = msg[:160]
+                if "500" not in msg or attempt == 3 \
+                        or time.perf_counter() > deadline - 300:
+                    raise
+                time.sleep(20)
         t2 = time.perf_counter()
         extra[tag + "_setup_s"] = round(t2 - t1, 3)
 
@@ -679,7 +695,17 @@ def bench_qap(extra, deadline, qap_log=None):
         extra[tag + "_skipped"] = "no time for prove"
         return
     t2 = time.perf_counter()
-    proof = pinocchio.prove(assignment, pk, qap, rng=rng)  # warm-up/compile
+    for attempt in range(3):  # same intermittent-500 shield as setup
+        try:
+            proof = pinocchio.prove(assignment, pk, qap, rng=rng)
+            break
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            extra[tag + f"_prove_try{attempt}"] = msg[:160]
+            if "500" not in msg or attempt == 2 \
+                    or time.perf_counter() > deadline - 120:
+                raise
+            time.sleep(20)
     t3 = time.perf_counter()
     extra[tag + "_prove_cold_s"] = round(t3 - t2, 3)
     print(f"# {tag}: cold prove {t3-t2:.1f}s", file=sys.stderr)
