@@ -29,7 +29,14 @@ import numpy as np
 from . import curve_pallas, msm as _msm, weierstrass as wst
 
 _TABLE_C = 8  # window bits: W = 32 windows, 2^8 entries each
-_CHUNK = 1 << 18  # points per jitted call (one compiled shape, bounded temps)
+# Points per jitted call (one compiled shape, bounded temps).  G2 rows are
+# 2x wider than G1's (Fq2 coordinates: 6 limb planes vs 3), and the 2^18
+# chunk that fits for G1 is a measured 19.01 GB HBM program for G2 on a
+# 15.75 GB v5e — the relay's compile helper surfaces that OOM as an
+# opaque "HTTP 500: tpu_compile_helper subprocess exit code 1", which
+# blocked every 2^20 trusted setup until diagnosed (2026-08-21).  2^16
+# gives G2 a 4x headroom (~4.75 GB).
+_CHUNK = {"g1": 1 << 18, "g2": 1 << 16}
 
 
 def _cache_dir() -> str:
@@ -136,12 +143,13 @@ def fixed_base_multi(which: str, scalars_std, c: int = _TABLE_C) -> wst.Point:
     slots = 1 << c
     n = digits.shape[1]
     run = _jitted_gather_sum(which, W, slots)
-    if n <= _CHUNK:
+    chunk = _CHUNK[which]
+    if n <= chunk:
         return wst.Point(*run(rows, digits))
-    n_pad = -(-n // _CHUNK) * _CHUNK
+    n_pad = -(-n // chunk) * chunk
     digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)))  # d=0 -> infinity
-    outs = [wst.Point(*run(rows, digits[:, off:off + _CHUNK]))
-            for off in range(0, n_pad, _CHUNK)]
+    outs = [wst.Point(*run(rows, digits[:, off:off + chunk]))
+            for off in range(0, n_pad, chunk)]
     cat = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=1),
                                  *outs)
     return jax.tree_util.tree_map(lambda a: a[:, :n], cat)
