@@ -48,8 +48,25 @@ LOG_N = int(os.environ.get("BENCH_MSM_LOG", 20))
 QAP_LOG = int(os.environ.get("BENCH_QAP_LOG", 20))
 NTT_LOG = int(os.environ.get("BENCH_NTT_LOG", 20))
 SKIP = set(os.environ.get("BENCH_SKIP", "").split(","))
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+# Default budget sized to the DRIVER's observed kill window (~1800 s wall:
+# BENCH_r04 recorded SIGTERM at 1798.4 s) minus emit headroom — r4's 2700 s
+# default let the qap prove start work it could never finish (VERDICT r5 #1).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1700))
 KEYS_DIR = os.environ.get("BENCH_KEYS", "/tmp/myzkp_bench_keys")
+
+# One seed for every pseudorandom draw in the bench (points, scalars,
+# circuit assignment, setup toxic waste).  Setup retries re-seed from this
+# constant so a retried setup replays the identical draw sequence; the
+# prove's draws come from the same stream and are therefore independent of
+# how many setup attempts ran (advisor r4).
+SEED = 42
+
+
+def _is_relay_500(msg: str) -> bool:
+    """The axon relay's remote-compile helper failure signature (an
+    intermittent HTTP 500 that succeeds on immediate retry).  A bare
+    '500' substring also matched byte counts and durations (advisor r4)."""
+    return "HTTP 500" in msg or "tpu_compile_helper" in msg
 
 T0 = time.perf_counter()
 
@@ -94,6 +111,16 @@ def _emit(tag=None):
         metric = "MSM_GOLDEN_FAILED"
     pps = STATE["pps"] or 0.0
     host = STATE["host_pps"] or 0.0
+    # Environment-normalized anchors (VERDICT r4 #6): the relay/chip
+    # environment drifts ±25-75% between rounds (BASELINE.md drift note),
+    # so each headline also ships as a ratio against the same-run mont_mul
+    # rate — the ratios stay comparable across rounds.
+    mont = extra.get("mont_mul_2^20_M_per_s")
+    if mont and pps:
+        extra["msm_pts_per_Mmont"] = round(pps / (mont * 1e6) * 1e6, 3)
+    ntt_bf = extra.get(f"ntt_2^{NTT_LOG}_M_butterflies_per_s")
+    if mont and ntt_bf:
+        extra["ntt_butterflies_per_mont"] = round(ntt_bf / mont, 3)
     print(json.dumps({
         "metric": metric,
         "value": round(pps, 1),
@@ -180,6 +207,18 @@ def main():
         signal.signal(s, handler)
     signal.alarm(max(1, int(BUDGET_S)))
 
+    # sweep stale atomic-write temps from killed past runs (advisor r4:
+    # a ~500 MB orphan per killed save); no children are live yet
+    try:
+        for f in os.listdir(KEYS_DIR):
+            if ".tmp" in f:
+                try:
+                    os.unlink(os.path.join(KEYS_DIR, f))
+                except OSError:
+                    pass
+    except OSError:
+        pass
+
     # Phase 0: relay-health probe.  A SIGKILLed client mid-remote-compile
     # wedges the relay for every new connection until the abandoned
     # server-side compile finishes (measured: hours) — a tiny jax op in a
@@ -225,7 +264,7 @@ def main():
     # If the in-process attempt died that way, isolate and retry.
     qap_missing = (f"qap_2^{QAP_LOG}_prove_s" not in STATE["extra"]
                    and "qap" not in SKIP)
-    if qap_missing and "500" in str(STATE["extra"].get("qap_error", "")) \
+    if qap_missing and _is_relay_500(str(STATE["extra"].get("qap_error", ""))) \
             and _remaining() > 600:
         _run_phase("qap", max(60.0, _remaining() - 45))
     _emit()
@@ -241,18 +280,26 @@ _LIVE_PROGRESS = []
 
 class Progress:
     """Incrementally-persisted result dict: every update is atomically
-    visible to the parent, so a later hang loses nothing."""
+    visible to the parent, so a later hang loses nothing.  A lock
+    serializes the dict mutation AND the dump+rename: the background
+    key-save thread writes timings concurrently with the main thread
+    (advisor r4 — an unguarded dump could raise 'dict changed size' or
+    interleave tmp-file writes)."""
 
     def __init__(self, path):
+        import threading
+
         self.path = path
         self.data = {}
+        self._lock = threading.Lock()
 
     def __setitem__(self, k, v):
-        self.data[k] = v
-        tmp = f"{self.path}.tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f)
-        os.replace(tmp, self.path)
+        with self._lock:
+            self.data[k] = v
+            tmp = f"{self.path}.tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(self.data, f)
+            os.replace(tmp, self.path)
 
     def get(self, k, default=None):
         return self.data.get(k, default)
@@ -444,7 +491,7 @@ def _msm_points_and_scalars():
 
     from myzkp_tpu.curves import bn254, fixed_base, msm, weierstrass as wst
 
-    rng = random.Random(42)
+    rng = random.Random(SEED)
     rspec = bn254.r_spec()
     n = 1 << LOG_N
     ms = [rng.randrange(1, bn254.R) for _ in range(n)]
@@ -477,18 +524,28 @@ def _msm_points_and_scalars():
     return pts, scalars, ms, ks
 
 
-def bench_msm(extra):
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+_MSM_DATA = {}
 
-    from myzkp_tpu.curves import bn254, msm, weierstrass as wst
+
+def _msm_data():
+    if not _MSM_DATA:
+        pts, scalars, ms, ks = _msm_points_and_scalars()
+        _MSM_DATA.update(points=pts, scalars=scalars, ms=ms, ks=ks)
+    return _MSM_DATA
+
+
+def bench_msm_goldens(extra):
+    """Small-n MSM goldens vs host ground truth — run BEFORE the qap prove
+    so a bad fused path is disabled before it can poison the north-star
+    proof (the r4 rows-scan bug shipped a rejected 2^16 proof)."""
+    import jax
+
+    from myzkp_tpu.curves import bn254, msm
 
     F, b3 = bn254.g1_ops(), bn254.g1_b3(())
-    n = 1 << LOG_N
-    points, scalars, ms, ks = _msm_points_and_scalars()
+    d = _msm_data()
+    points, scalars, ms, ks = d["points"], d["scalars"], d["ms"], d["ks"]
 
-    # golden: small-n MSM through the same pipeline vs host ground truth
     n_small = 512
     got = msm.msm_pippenger(
         F, b3, jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
@@ -503,36 +560,55 @@ def bench_msm(extra):
         return
     print("# msm golden @512 OK", file=sys.stderr)
 
-    # same golden through the fused rows-scan kernel path (G*n/K = 1024
-    # lanes forces it): pins the bucket_scan_rows Mosaic lowering on-chip.
-    # A failure DISABLES the rows path (msm.ROWS_SCAN_AUTO) rather than
-    # aborting — the proven XLA-scan formulation carries the run.
-    try:
-        got_r = msm.msm_pippenger(
-            F, b3, jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
-            scalars[:, :n_small], c=8, G=4, K=2, _rows_scan=True)
-        got_r_host = bn254.g1_points_to_host(
-            jax.tree_util.tree_map(lambda c: c[:, None], got_r))[0]
-        extra["bitcheck_msm_rows_scan"] = bool(got_r_host == exp)
-    except Exception as e:
-        extra["bitcheck_msm_rows_scan"] = f"error: {type(e).__name__}"[:80]
-    if extra["bitcheck_msm_rows_scan"] is not True:
-        msm.ROWS_SCAN_AUTO = False
-        extra["rows_scan_disabled"] = True
-        print("# msm rows-scan golden FAILED -> falling back to XLA scan",
-              file=sys.stderr)
-    else:
-        print("# msm rows-scan golden @512 OK", file=sys.stderr)
+    # rows-scan goldens: single-tile (c=8,G=4,K=2 -> 1024 lanes) AND
+    # multi-tile (c=8,G=8,K=2 -> 2048 lanes, 2 grid tiles, K=2) — the r4
+    # bug only manifested at T > 1, and a golden that can't fail where the
+    # bug lives is worse than none (VERDICT r4 #5).  A failure DISABLES
+    # the rows path (msm.ROWS_SCAN_AUTO); the proven XLA-scan formulation
+    # carries the run, including the qap prove that follows.
+    for name, kw in (("rows_scan", dict(c=8, G=4, K=2)),
+                     ("rows_scan_2tile", dict(c=8, G=8, K=2))):
+        key = f"bitcheck_msm_{name}"
+        try:
+            got_r = msm.msm_pippenger(
+                F, b3,
+                jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
+                scalars[:, :n_small], _rows_scan=True, **kw)
+            got_r_host = bn254.g1_points_to_host(
+                jax.tree_util.tree_map(lambda c: c[:, None], got_r))[0]
+            extra[key] = bool(got_r_host == exp)
+        except Exception as e:
+            extra[key] = f"error: {type(e).__name__}"[:80]
+        if extra[key] is not True:
+            msm.ROWS_SCAN_AUTO = False
+            extra["rows_scan_disabled"] = True
+            print(f"# msm {name} golden FAILED -> falling back to XLA scan",
+                  file=sys.stderr)
+            break
+        print(f"# msm {name} golden OK", file=sys.stderr)
 
-    # Time the PROVER'S OWN jitted MSM program (snark.pinocchio._jitted_msm)
-    # so the heavy phase pays ONE cold 2^20-Pippenger compile for both the
-    # headline metric and the qap prove (a cold relay compile of a separate
-    # chain program measured 55+ min and ate the whole round-3/4a budget).
-    # Methodology (b) of docs/speed_of_light.md: wall-time calls whose
-    # output is fetched to host — the fetch blocks until execution
-    # completes, and the ~26 ms relay round trip is measured and
-    # subtracted.  Distinct scalar inputs per rep defeat any caching.
+
+def bench_msm_headline(extra):
+    """Time the PROVER'S OWN jitted 2^20 MSM program
+    (snark.pinocchio._jitted_msm).  Runs AFTER bench_qap in the same
+    process: the qap prove's witness MSMs already compiled this exact
+    program, so the headline costs only the point-table load plus timing
+    reps (the ~272 s cold compile is paid once per child — VERDICT r5 #1).
+
+    Methodology (b) of docs/speed_of_light.md: wall-time calls whose
+    output is fetched to host — the fetch blocks until execution
+    completes, and the ~26 ms relay round trip is measured and
+    subtracted.  Distinct scalar inputs per rep defeat any caching."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from myzkp_tpu.curves import bn254, msm
     from myzkp_tpu.snark import pinocchio
+
+    n = 1 << LOG_N
+    d = _msm_data()
+    points, scalars, ms, ks = d["points"], d["scalars"], d["ms"], d["ks"]
 
     run = pinocchio._jitted_msm("g1", "pippenger")
 
@@ -569,6 +645,23 @@ def bench_msm(extra):
     print(f"# msm 2^{LOG_N}: {dt*1e3:.1f} ms -> {pps/1e3:.0f} k pts/s "
           f"(rtt {rtt*1e3:.0f} ms subtracted)", file=sys.stderr)
 
+    # FULL-SHAPE golden (VERDICT r4 #5): the timed program's own output at
+    # the exact production configuration vs one host scalar mul.  The last
+    # timing rep used variants[2] (scalar 0 perturbed by +2 mod 2^15).
+    k0 = ks[0]  # variants[2] replaced scalar 0's limb 0 by (l0+2) & 0x7FFF
+    k0_pert = k0 - (k0 & 0xFFFF) + (((k0 & 0xFFFF) + 2) & 0x7FFF)
+    exp_full = bn254.g1_generator() * (
+        (sum(k * m for k, m in zip(ks, ms)) - k0 * ms[0] + k0_pert * ms[0])
+        % bn254.R)
+    got_full = bn254.g1_points_to_host(jax.tree_util.tree_map(
+        lambda c: np.asarray(c)[:, None], wst_point(out)))[0]
+    extra[f"bitcheck_msm_2^{LOG_N}"] = bool(got_full == exp_full)
+    if not extra[f"bitcheck_msm_2^{LOG_N}"]:
+        extra["_msm_golden_failed"] = True
+        print(f"# msm FULL-SHAPE golden @2^{LOG_N} FAILED", file=sys.stderr)
+        return
+    print(f"# msm full-shape golden @2^{LOG_N} OK", file=sys.stderr)
+
     # reference-equivalent naive host double-and-add, sampled
     sample = 4
     host_pts = [bn254.g1_generator() * m for m in ms[:sample]]
@@ -579,6 +672,12 @@ def bench_msm(extra):
     host_pps = sample / (time.perf_counter() - t0)
     extra["_pps"] = round(pps, 1)
     extra["_host_pps"] = host_pps
+
+
+def wst_point(out):
+    from myzkp_tpu.curves import weierstrass as wst
+
+    return wst.Point(*out)
 
 
 # ---------------------------------------------------------------------------
@@ -593,23 +692,19 @@ def _qap_cache_paths(qap_log):
     return base + ".npz", base + ".vk.json"
 
 
-def _g2_warm_marker():
-    salt = _code_hash("myzkp_tpu/curves/msm.py",
-                      "myzkp_tpu/curves/curve_pallas.py",
-                      "myzkp_tpu/curves/weierstrass.py",
-                      "myzkp_tpu/fields/tile_ops.py")
-    return os.path.join(KEYS_DIR, f"g2_pippenger_warm_{salt}")
-
-
 def bench_qap(extra, deadline, qap_log=None):
     """End-to-end Pinocchio prove at 2^qap_log constraints (north star).
 
     Stage-gated against ``deadline`` (absolute perf_counter value); the
     proving key persists across runs, so setup's cost is paid once per
-    host per code version.  The G2 prover MSM runs Pippenger only once a
-    prior successful run proved its compile is warm (marker file);
-    otherwise the compile-bounded chunked ladder keeps a cold run inside
-    the budget (its measured cold compile is ~6 min vs 36 min)."""
+    host per code version.  The G2 prover MSM defaults to the chunked
+    naive ladder: remote compiles bypass the persistent XLA cache, so a
+    fresh bench process ALWAYS pays the cold compile — ~6 min for the
+    ladder vs ~36 min for G2 Pippenger (which is what killed the r4 qap
+    phase: a stale 'warm' marker selected Pippenger and the driver's
+    SIGTERM landed mid-compile).  Runtime cost of the ladder is ~+18 s on
+    the steady prove; MYZKP_G2_MSM=pippenger overrides when the compile
+    is known-warm in-process."""
     from myzkp_tpu.arith.sparse import SparseQAP, square_chain
     from myzkp_tpu.curves import bn254
     from myzkp_tpu.snark import pinocchio
@@ -618,13 +713,11 @@ def bench_qap(extra, deadline, qap_log=None):
     qap_log = qap_log if qap_log is not None else QAP_LOG
     tag = f"qap_2^{qap_log}"
 
-    if "MYZKP_G2_MSM" not in os.environ:
-        os.environ["MYZKP_G2_MSM"] = (
-            "pippenger" if os.path.exists(_g2_warm_marker()) else "naive")
-    extra[tag + "_g2_method"] = os.environ["MYZKP_G2_MSM"]
+    g2_method = os.environ.get("MYZKP_G2_MSM", "naive")
+    extra[tag + "_g2_method"] = g2_method
 
     spec = bn254.r_spec()
-    rng = random.Random(42)
+    rng = random.Random(SEED)
     m = 1 << qap_log
     t0 = time.perf_counter()
     r1cs, assignment = square_chain(spec, m)
@@ -655,7 +748,7 @@ def bench_qap(extra, deadline, qap_log=None):
         # with fresh rng state each time (the draws must match the
         # single-attempt sequence for reproducibility, so re-seed).
         for attempt in range(4):
-            rng_a = random.Random(42)  # replay the setup draw sequence
+            rng_a = random.Random(SEED)  # replay the setup draw sequence
             try:
                 pk, vk = pinocchio.setup(qap, rng=rng_a)
                 _fetch(pk.g1_sj.x)
@@ -663,7 +756,7 @@ def bench_qap(extra, deadline, qap_log=None):
             except Exception as e:
                 msg = f"{type(e).__name__}: {e}"
                 extra[tag + f"_setup_try{attempt}"] = msg[:160]
-                if "500" not in msg or attempt == 3 \
+                if not _is_relay_500(msg) or attempt == 3 \
                         or time.perf_counter() > deadline - 300:
                     raise
                 time.sleep(20)
@@ -697,20 +790,24 @@ def bench_qap(extra, deadline, qap_log=None):
     t2 = time.perf_counter()
     for attempt in range(3):  # same intermittent-500 shield as setup
         try:
-            proof = pinocchio.prove(assignment, pk, qap, rng=rng)
+            proof = pinocchio.prove(assignment, pk, qap, rng=rng,
+                                    g2_method=g2_method)
             break
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"
             extra[tag + f"_prove_try{attempt}"] = msg[:160]
-            if "500" not in msg or attempt == 2 \
+            if not _is_relay_500(msg) or attempt == 2 \
                     or time.perf_counter() > deadline - 120:
                 raise
             time.sleep(20)
     t3 = time.perf_counter()
     extra[tag + "_prove_cold_s"] = round(t3 - t2, 3)
     print(f"# {tag}: cold prove {t3-t2:.1f}s", file=sys.stderr)
-    if time.perf_counter() < deadline - 1.5 * (t3 - t2):
-        proof = pinocchio.prove(assignment, pk, qap, rng=rng)  # steady state
+    # steady-state rep only if it can't cost the headline its slot: the
+    # warm prove measured ~41 s, so require ~2x that plus headroom
+    if time.perf_counter() < deadline - max(120.0, 0.3 * (t3 - t2)):
+        proof = pinocchio.prove(assignment, pk, qap, rng=rng,
+                                g2_method=g2_method)  # steady state
         t4 = time.perf_counter()
         extra[tag + "_prove_s"] = round(t4 - t3, 3)
     else:
@@ -735,24 +832,6 @@ def bench_qap(extra, deadline, qap_log=None):
             if time.perf_counter() < deadline - 420:
                 bench_qap(extra, deadline, qap_log)
         return
-    if os.environ.get("MYZKP_G2_MSM") == "pippenger":
-        with open(_g2_warm_marker(), "w") as f:
-            f.write("ok\n")
-    elif time.perf_counter() < deadline - 2100:
-        # plenty of budget left: warm the G2 Pippenger path so future runs
-        # (and the driver's) get the faster prover
-        os.environ["MYZKP_G2_MSM"] = "pippenger"
-        t6 = time.perf_counter()
-        proof2 = pinocchio.prove(assignment, pk, qap, rng=rng)
-        extra[tag + "_prove_pippenger_cold_s"] = round(
-            time.perf_counter() - t6, 3)
-        if pinocchio.verify(proof2, vk):
-            t7 = time.perf_counter()
-            proof2 = pinocchio.prove(assignment, pk, qap, rng=rng)
-            extra[tag + "_prove_pippenger_s"] = round(
-                time.perf_counter() - t7, 3)
-            with open(_g2_warm_marker(), "w") as f:
-                f.write("ok\n")
 
 
 _SAVE_THREADS: list = []
@@ -786,25 +865,36 @@ def child_main(phases: str, progress_path: str, budget: float):
             if "ntt" not in SKIP:
                 bench_ntt(extra)
         elif phases in ("heavy", "qap"):
+            # Order (VERDICT r5 #1): cheap goldens gate the fused paths,
+            # then the qap prove (the north star, whose witness MSMs pay
+            # the one 2^20 Pippenger compile), then the MSM headline
+            # timing that reuses that compiled program.
             if phases == "qap":
                 extra["qap_retry_fresh_process"] = True
             if phases == "heavy" and "msm" not in SKIP:
-                bench_msm(extra)
+                bench_msm_goldens(extra)
                 if extra.get("_msm_golden_failed"):
                     return
             if "qap" not in SKIP:
+                # reserve ~4 min for the headline timing that follows
+                qap_deadline = (deadline - 240 if phases == "heavy"
+                                else deadline)
                 try:
-                    bench_qap(extra, deadline)
+                    bench_qap(extra, qap_deadline)
                 except Exception as e:  # keep the headline on qap failure
                     extra["qap_error"] = f"{type(e).__name__}: {e}"[:500]
-                if (QAP_LOG > 16
-                        and f"qap_2^{QAP_LOG}_prove_s" not in extra
-                        and time.perf_counter() < deadline - 240):
-                    try:
-                        bench_qap(extra, deadline, qap_log=16)
-                    except Exception as e2:
-                        extra["qap16_error"] = (
-                            f"{type(e2).__name__}: {e2}"[:200])
+            if phases == "heavy" and "msm" not in SKIP:
+                bench_msm_headline(extra)
+                if extra.get("_msm_golden_failed"):
+                    return
+            if ("qap" not in SKIP and QAP_LOG > 16
+                    and f"qap_2^{QAP_LOG}_prove_s" not in extra
+                    and time.perf_counter() < deadline - 240):
+                try:
+                    bench_qap(extra, deadline, qap_log=16)
+                except Exception as e2:
+                    extra["qap16_error"] = (
+                        f"{type(e2).__name__}: {e2}"[:200])
     except Exception as e:
         extra["phase_error"] = f"{type(e).__name__}: {e}"[:300]
         raise

@@ -62,13 +62,58 @@ def no_fuse():
     return _cm()
 
 
+def force_fused(mode):
+    """Context manager: override fused-kernel dispatch for code traced
+    inside it.  ``True`` forces the fused path on, ``False`` forces the
+    pure-JAX path, ``"interpret"`` runs the fused kernels in Pallas
+    interpret mode (the CPU test seam that lets off-TPU tests exercise the
+    Mosaic kernel logic — the gap that let the r4 rows-scan bug ship),
+    ``None`` restores auto (backend-based) dispatch.  Thread-local."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        prev = getattr(_force_tls, "mode", None)
+        _force_tls.mode = mode
+        try:
+            yield
+        finally:
+            _force_tls.mode = prev
+
+    return _cm()
+
+
+def forced_mode():
+    """The active force_fused override (None = auto dispatch)."""
+    return getattr(_force_tls, "mode", None)
+
+
+def interpret_mode() -> bool:
+    return forced_mode() == "interpret"
+
+
+_force_tls = _threading.local()
+
+
 def enabled() -> bool:
+    """Trace-time fused-kernel dispatch decision.
+
+    Priority: no_fuse regions > limb-level pallas override/env >
+    force_fused override > the default backend.  The default-backend check
+    is only the FALLBACK: code that executes on an explicit device set
+    (mesh wrappers, tests) must wrap tracing in force_fused /
+    parallel.mesh's off-mesh guard — VERDICT r4 weak#1 documented a real
+    crash when a TPU-registered host traced these kernels for a CPU mesh.
+    """
     from ..fields import limb as _limb
 
     if getattr(_no_fuse_tls, "depth", 0) > 0:
         return False
     if not _limb.pallas_allowed():
         return False
+    mode = forced_mode()
+    if mode is not None:
+        return mode is True or mode == "interpret"
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:
@@ -137,6 +182,8 @@ def _pdbl_formula(tF, b3, p):
 @functools.lru_cache(maxsize=None)
 def _make_padd_kernel(spec: FieldSpec, with_select: bool,
                       interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFp(spec, use_scratch=True)
 
     def kernel(*refs):
@@ -166,6 +213,8 @@ def _padd_mixed_formula(tF, b3, p, qx, qy):
 @functools.lru_cache(maxsize=None)
 def _make_padd_mixed_kernel(spec: FieldSpec, with_select: bool,
                             interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFp(spec, use_scratch=True)
 
     def kernel(*refs):
@@ -207,6 +256,8 @@ def padd_mixed_sel_fused(spec: FieldSpec, x1, y1, z1, qx, qy, h, b3c,
 @functools.lru_cache(maxsize=None)
 def _make_padd_mixed2_kernel(spec: FieldSpec, with_select: bool,
                              interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFq2(spec, use_scratch=True)
 
     def kernel(*refs):
@@ -254,6 +305,8 @@ def padd_mixed2_fused(spec: FieldSpec, coords, b3c, interpret: bool = False):
 
 @functools.lru_cache(maxsize=None)
 def _make_pdbl_kernel(spec: FieldSpec, interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFp(spec, use_scratch=True)
 
     def kernel(x, y, z, b3, ox, oy, oz):
@@ -309,7 +362,7 @@ _SCAN_LANES = 1024  # points per grid tile: (8, 128) vregs fully occupied
 
 
 @functools.lru_cache(maxsize=None)
-def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
+def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int, K: int,
                              interpret: bool = False):
     tF = TileFp(spec, use_scratch=not interpret)
     L = spec.L
@@ -317,7 +370,16 @@ def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
     T_LANES = _SCAN_LANES
     S = T_LANES // 128  # 8 sublanes
 
-    def kernel(rows_ref, tag_ref, b3_ref, acc_ref, flush_ref):
+    def kernel(rows_ref, tag_ref, b3_ref, acc_ref, flush_ref, carry_ref):
+        # The running accumulator lives in a SCRATCH buffer (persists
+        # across grid steps), NOT in the revisited acc_ref output.  The
+        # r4 shape-dependent bug (tools/rows_scan_bug.md): the kernel
+        # read acc_ref back every step, but an output block whose index
+        # map varies (with t, once T > 1) is pipelined/double-buffered —
+        # reads at k > 0 could see the stale buffer.  T=1 (one block
+        # ever) was the only configuration that bit-matched, exactly the
+        # dossier's failing pattern.  With the carry in scratch, both
+        # outputs are write-only.
         k = pl.program_id(1)
 
         one = tF.const(1, jnp.zeros((L, S, 128), jnp.uint32))
@@ -327,7 +389,7 @@ def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
             inf = jnp.concatenate(
                 [jnp.zeros((L, S, 128), jnp.uint32), one,
                  jnp.zeros((L, S, 128), jnp.uint32)], axis=0)
-            acc_ref[...] = inf.reshape(C, S, 128)
+            carry_ref[...] = inf.reshape(C, S, 128)
 
         rows = rows_ref[...].reshape(T_LANES, lanes_pad)
         planes = jnp.swapaxes(rows, 0, 1)  # (lanes_pad, T_LANES)
@@ -338,7 +400,7 @@ def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
         qx, qy, qz = coord(0), coord(1), coord(2)
         tag = tag_ref[...].reshape(S, 128)
         qy = tF.select((tag & 1) > 0, tF.neg(qy), qy)
-        acc = acc_ref[...]
+        acc = carry_ref[...]
         p = (acc[:L], acc[L : 2 * L], acc[2 * L : C])
         # stream the pre-add accumulator out as rows (the flush candidates;
         # the caller scatters the real segment flushes by target index)
@@ -349,7 +411,12 @@ def _make_bucket_scan_kernel(spec: FieldSpec, lanes_pad: int,
         r = _padd_formula(tF, tF.load(b3_ref), p, (qx, qy, qz))
         head = (tag >> 1) > 0
         r = tuple(tF.select(head, qi, ri) for qi, ri in zip((qx, qy, qz), r))
-        acc_ref[...] = jnp.concatenate(r, axis=0).reshape(C, S, 128)
+        new_acc = jnp.concatenate(r, axis=0).reshape(C, S, 128)
+        carry_ref[...] = new_acc
+
+        @pl.when(k == K - 1)
+        def _final():
+            acc_ref[...] = new_acc
 
     return kernel
 
@@ -379,7 +446,7 @@ def bucket_scan_rows(spec: FieldSpec, rows_sm, tag, b3c, K: int,
     b3b = jnp.broadcast_to(b3c.reshape(L, 1, 1), (L, S, 128))
     grid = (T, K)
     acc, flush = pl.pallas_call(
-        _make_bucket_scan_kernel(spec, lanes_pad, interpret),
+        _make_bucket_scan_kernel(spec, lanes_pad, K, interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _SCAN_LANES, lanes_pad), lambda t, k: (k, t, 0),
@@ -400,6 +467,7 @@ def bucket_scan_rows(spec: FieldSpec, rows_sm, tag, b3c, K: int,
             jax.ShapeDtypeStruct((K, T * _SCAN_LANES, lanes_pad),
                                  jnp.uint32),
         ),
+        scratch_shapes=[pltpu.VMEM((C, S, 128), jnp.uint32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -415,6 +483,8 @@ def bucket_scan_rows(spec: FieldSpec, rows_sm, tag, b3c, K: int,
 @functools.lru_cache(maxsize=None)
 def _make_padd2_kernel(spec: FieldSpec, with_select: bool,
                        interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFq2(spec, use_scratch=True)
 
     def kernel(*refs):
@@ -443,6 +513,8 @@ def _make_padd2_kernel(spec: FieldSpec, with_select: bool,
 
 @functools.lru_cache(maxsize=None)
 def _make_pdbl2_kernel(spec: FieldSpec, interpret: bool = False):
+    # scratch even in interpret mode: the unrolled O(L^2) mul blew up
+    # XLA:CPU compile memory (std::bad_alloc at 20 GB, r5 probe)
     tF = TileFq2(spec, use_scratch=True)
 
     def kernel(*refs):
@@ -527,6 +599,7 @@ def try_padd(F, b3, p, q, h=None):
         return None
     from . import weierstrass as wst
 
+    interp = interpret_mode()
     if isinstance(F, FpOps):
         coords, bshape = _common(F, [p.x, p.y, p.z, q.x, q.y, q.z])
         if coords is None:
@@ -534,8 +607,8 @@ def try_padd(F, b3, p, q, h=None):
         if h is not None:
             hb = jnp.broadcast_to(h, bshape)
             return wst.Point(*padd_sel_fused(
-                F.spec, *coords, hb, _b3_vec(F, b3)))
-        return wst.Point(*padd_fused(F.spec, *coords, _b3_vec(F, b3)))
+                F.spec, *coords, hb, _b3_vec(F, b3), interp))
+        return wst.Point(*padd_fused(F.spec, *coords, _b3_vec(F, b3), interp))
     if isinstance(F, Fq2Ops):
         flat = [c for e in (p.x, p.y, p.z, q.x, q.y, q.z) for c in e]
         coords, bshape = _common(F, flat)
@@ -544,9 +617,9 @@ def try_padd(F, b3, p, q, h=None):
         b3v = _b3_vec(F, b3)
         if h is not None:
             hb = jnp.broadcast_to(h, bshape)
-            out = padd2_sel_fused(F.spec, tuple(coords), hb, b3v)
+            out = padd2_sel_fused(F.spec, tuple(coords), hb, b3v, interp)
         else:
-            out = padd2_fused(F.spec, tuple(coords), b3v)
+            out = padd2_fused(F.spec, tuple(coords), b3v, interp)
         return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
     return None
 
@@ -560,6 +633,7 @@ def try_padd_mixed(F, b3, p, qx, qy, h=None):
         return None
     from . import weierstrass as wst
 
+    interp = interpret_mode()
     if isinstance(F, FpOps):
         coords, bshape = _common(F, [p.x, p.y, p.z, qx, qy])
         if coords is None:
@@ -567,8 +641,9 @@ def try_padd_mixed(F, b3, p, qx, qy, h=None):
         if h is not None:
             hb = jnp.broadcast_to(h, bshape)
             return wst.Point(*padd_mixed_sel_fused(
-                F.spec, *coords, hb, _b3_vec(F, b3)))
-        return wst.Point(*padd_mixed_fused(F.spec, *coords, _b3_vec(F, b3)))
+                F.spec, *coords, hb, _b3_vec(F, b3), interp))
+        return wst.Point(*padd_mixed_fused(
+            F.spec, *coords, _b3_vec(F, b3), interp))
     if isinstance(F, Fq2Ops):
         flat = [c for e in (p.x, p.y, p.z, qx, qy) for c in e]
         coords, bshape = _common(F, flat)
@@ -577,9 +652,10 @@ def try_padd_mixed(F, b3, p, qx, qy, h=None):
         b3v = _b3_vec(F, b3)
         if h is not None:
             hb = jnp.broadcast_to(h, bshape)
-            out = padd_mixed2_sel_fused(F.spec, tuple(coords), hb, b3v)
+            out = padd_mixed2_sel_fused(F.spec, tuple(coords), hb, b3v,
+                                        interp)
         else:
-            out = padd_mixed2_fused(F.spec, tuple(coords), b3v)
+            out = padd_mixed2_fused(F.spec, tuple(coords), b3v, interp)
         return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
     return None
 
@@ -591,16 +667,17 @@ def try_pdbl(F, b3, p):
         return None
     from . import weierstrass as wst
 
+    interp = interpret_mode()
     if isinstance(F, FpOps):
         coords, _ = _common(F, [p.x, p.y, p.z])
         if coords is None:
             return None
-        return wst.Point(*pdbl_fused(F.spec, *coords, _b3_vec(F, b3)))
+        return wst.Point(*pdbl_fused(F.spec, *coords, _b3_vec(F, b3), interp))
     if isinstance(F, Fq2Ops):
         flat = [c for e in (p.x, p.y, p.z) for c in e]
         coords, _ = _common(F, flat)
         if coords is None:
             return None
-        out = pdbl2_fused(F.spec, tuple(coords), _b3_vec(F, b3))
+        out = pdbl2_fused(F.spec, tuple(coords), _b3_vec(F, b3), interp)
         return wst.Point((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
     return None

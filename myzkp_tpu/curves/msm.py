@@ -591,10 +591,11 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
     # (interpret mode off-TPU, the test seam), False = never
     if _rows_scan is None:
         use_rows_scan = lanes_ok and ROWS_SCAN_AUTO and curve_pallas.enabled()
-        scan_interpret = False
+        scan_interpret = curve_pallas.interpret_mode()
     else:
         use_rows_scan = lanes_ok and _rows_scan
-        scan_interpret = _rows_scan and not curve_pallas.enabled()
+        scan_interpret = _rows_scan and (curve_pallas.interpret_mode()
+                                         or not curve_pallas.enabled())
 
     def group_body(carry, xs):
         dsort, vsort = xs  # (G, n_pad)

@@ -39,8 +39,17 @@ def save_point_batches(path: str, **named_points) -> None:
     # if the writer is killed mid-save (bench.py saves from a background
     # thread that may outlive its budget).
     tmp = f"{path}.tmp{os.getpid()}.npz"
-    np.savez(tmp, **out)
-    os.replace(tmp, path)
+    try:
+        np.savez(tmp, **out)
+        os.replace(tmp, path)
+    finally:
+        # a killed writer must not leave a ~500 MB orphan accumulating in
+        # the keys dir (advisor r4); best-effort — replace() normally
+        # already consumed tmp
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def load_point_batches(path: str) -> dict:

@@ -267,11 +267,14 @@ def test_ntt_recursive_core_matches_single_level():
 
 @pytest.mark.slow  # interpret-mode padd emulation; the lowering is golden-
 # checked on-chip by bench.py's rows-path msm golden each run
-def test_bucket_scan_rows_kernel_matches_host():
+@pytest.mark.parametrize("N", [1024, 2048])
+def test_bucket_scan_rows_kernel_matches_host(N):
     """curve_pallas.bucket_scan_rows (interpret mode) vs a host-simulated
     segmented scan: per-lane accumulators and the flush stream must match
     as group elements (projective representations differ by construction,
-    so compare affine via the host conversion)."""
+    so compare affine via the host conversion).  N=2048 exercises the
+    multi-tile (T=2) grid — the shape class of the r4 double-buffered-
+    accumulator bug (tools/rows_scan_bug.md)."""
     import jax.numpy as jnp
 
     from myzkp_tpu.curves import bn254, curve_pallas, msm as m, \
@@ -280,7 +283,7 @@ def test_bucket_scan_rows_kernel_matches_host():
     rng = random.Random(23)
     qspec = bn254.q_spec()
     g1 = bn254.g1_generator()
-    N, K = 1024, 2
+    K = 2
     mults = [rng.randrange(1, 1 << 30) for _ in range(K * N)]
     host_pts = [g1 * v for v in mults]
     dev_pts = bn254.g1_points_to_device(host_pts)
@@ -312,3 +315,30 @@ def test_bucket_scan_rows_kernel_matches_host():
     got_flush = bn254.g1_points_to_host(
         m._point_of_rows(flush, treedef, C, (K * N,)))
     assert got_flush == flush_h
+
+
+def test_force_fused_interpret_seam_dispatches_kernels():
+    """force_fused("interpret") routes curve group ops through the fused
+    Pallas kernels in interpret mode on CPU — the test seam that lets
+    off-TPU tests exercise Mosaic kernel logic (the gap that let the r4
+    rows-scan bug reach a chip prove, VERDICT r4 weak#1).  Uses the mixed
+    add (the cheapest fused kernel to compile in interpret mode)."""
+    import jax
+
+    from myzkp_tpu.curves import bn254, curve_pallas, weierstrass as wst
+
+    g1 = bn254.g1_generator()
+    pa = bn254.g1_points_to_device([g1 * (3 + i) for i in range(8)])
+    qaff = [g1 * (11 + i) for i in range(8)]
+    qdev = bn254.g1_points_to_device(qaff)
+    F, b3 = bn254.g1_ops(), bn254.g1_b3(())
+    with curve_pallas.force_fused("interpret"):
+        assert curve_pallas.enabled() and curve_pallas.interpret_mode()
+        got = wst.padd_mixed(F, b3, pa, qdev.x, qdev.y)
+    with curve_pallas.force_fused(False):
+        assert not curve_pallas.enabled()
+        want = wst.padd_mixed(F, b3, pa, qdev.x, qdev.y)
+    assert curve_pallas.forced_mode() is None  # context restored
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
