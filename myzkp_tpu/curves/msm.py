@@ -318,7 +318,14 @@ def _bucket_accumulate_rows(F, b3, spec, b3c, rows, vsort, dsort,
     def dummy_tgt(real_tgt, flush):
         return jnp.where(flush, real_tgt, num_buckets) + w_off[:, :, None]
 
+    # No flush at step 0: nothing has ended inside the lane yet — the
+    # XLA formulation masks with (step_idx > 0); firing here scattered
+    # the freshly-initialized INFINITY accumulator at lanes whose first
+    # digit continues a previous lane's segment, colliding with the
+    # segment's real flush target (the r5 c=14 mismatch — head-dense
+    # digit streams made the collision land on buckets that mattered).
     flush = head & (prev > 0)
+    flush = flush.at[..., 0].set(False)
     tgt_flat = sm(dummy_tgt(prev, flush)).reshape(-1)
     _, treedef, C = _rows_of_point(wst.infinity(F, (1,)))
     return _merge_lane_partials(F, b3, acc, d2, flush_rows, tgt_flat,
@@ -662,16 +669,15 @@ def msm_pippenger(F, b3, points: Point, s_limbs, c: int | None = None,
 # Convenience wrappers (G1 over BN254 etc.)
 # ---------------------------------------------------------------------------
 
-# Fused rows-scan path: QUARANTINED (default off).  On-chip A/B
-# 2026-08-21: the kernel bit-matches host ground truth at n=512 with
-# (c=8, G=4, K=2) but MISMATCHES at n=2^16 with the cost-model's
-# auto-picked parameters, while the XLA-scan formulation matches at every
-# tested shape — a Pinocchio prove through the rows path produced a
-# rejected proof.  Until the shape-dependent bug is isolated
-# (tools/scratch notes), auto selection stays off; MYZKP_MSM_ROWS=1
-# force-enables for kernel debugging, and bench.py's rows golden keeps
-# pinning the small-shape behavior every run.
-ROWS_SCAN_AUTO = os.environ.get("MYZKP_MSM_ROWS", "") == "1"
+# Fused rows-scan path: default ON (r5).  The r4 quarantine's root cause
+# was a spurious step-0 flush in _bucket_accumulate_rows (see the comment
+# there and tools/rows_scan_bug.md): fixed and re-validated on-chip at
+# every previously-failing configuration, including the 2^16 auto params
+# (c=14, G=19, K=64, 19 tiles) that produced the rejected proof.
+# MYZKP_MSM_ROWS=0 disables (falls back to the XLA-scan formulation);
+# bench.py golden-checks single-tile, multi-tile, AND the full
+# headline-shape output against host ground truth every run.
+ROWS_SCAN_AUTO = os.environ.get("MYZKP_MSM_ROWS", "1") != "0"
 
 # Below this size the bucket machinery can't beat one 256-step double-and-add
 # ladder, and its much larger XLA program isn't worth compiling (deep-unrolled
