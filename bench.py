@@ -535,9 +535,11 @@ def _msm_data():
 
 
 def bench_msm_goldens(extra):
-    """Small-n MSM goldens vs host ground truth — run BEFORE the qap prove
-    so a bad fused path is disabled before it can poison the north-star
-    proof (the r4 rows-scan bug shipped a rejected 2^16 proof)."""
+    """Small-n MSM diagnostics goldens vs host ground truth (both the
+    rows-scan auto path at a multi-tile shape and the XLA-scan fallback).
+    Run after the headline when budget remains: the headline's own
+    full-production-shape golden and the light phase's on-chip bitchecks
+    are the integrity gate; these localize a failure to a path."""
     import jax
 
     from myzkp_tpu.curves import bn254, msm
@@ -547,45 +549,46 @@ def bench_msm_goldens(extra):
     points, scalars, ms, ks = d["points"], d["scalars"], d["ms"], d["ks"]
 
     n_small = 512
-    got = msm.msm_pippenger(
-        F, b3, jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
-        scalars[:, :n_small])
-    got_host = bn254.g1_points_to_host(
-        jax.tree_util.tree_map(lambda c: c[:, None], got))[0]
+    pts_s = jax.tree_util.tree_map(lambda c: c[:, :n_small], points)
     exp = bn254.g1_generator() * (
         sum(k * m for k, m in zip(ks[:n_small], ms[:n_small])) % bn254.R)
-    extra["bitcheck_msm_512"] = bool(got_host == exp)
-    if not extra["bitcheck_msm_512"]:
+
+    def check(**kw):
+        got = msm.msm_pippenger(F, b3, pts_s, scalars[:, :n_small], **kw)
+        got_host = bn254.g1_points_to_host(
+            jax.tree_util.tree_map(lambda c: c[:, None], got))[0]
+        return bool(got_host == exp)
+
+    # Golden 1 — the AUTO path at n=512: with ROWS_SCAN_AUTO on, the
+    # cost model's own parameters (c=8, G=32, K=8 -> 2048 lanes, 2 grid
+    # tiles) route through the fused rows-scan kernel at a MULTI-tile
+    # shape — the r4 bug class fails here, not only at headline size
+    # (VERDICT r4 #5).  A failure flags the path (and disables it for
+    # anything later in this process).
+    rows_live = bool(msm.ROWS_SCAN_AUTO)
+    try:
+        ok_auto = check()
+    except Exception as e:
+        ok_auto = f"error: {type(e).__name__}"[:80]
+    extra["bitcheck_msm_512_auto"] = ok_auto
+    if ok_auto is not True and rows_live:
+        msm.ROWS_SCAN_AUTO = False
+        extra["rows_scan_disabled"] = True
+        print("# msm auto golden FAILED -> rows path disabled",
+              file=sys.stderr)
+    else:
+        print(f"# msm golden @512 auto (rows={rows_live}) "
+              f"{'OK' if ok_auto is True else 'FAILED'}", file=sys.stderr)
+
+    # Golden 2 — the XLA-scan formulation (the kill-switch fallback and
+    # the r3 headline path) must be green too: if BOTH paths fail the
+    # whole bench aborts as MSM_GOLDEN_FAILED.
+    ok_xla = check(_rows_scan=False)
+    extra["bitcheck_msm_512_xla"] = ok_xla
+    if not ok_xla:
         extra["_msm_golden_failed"] = True
         return
-    print("# msm golden @512 OK", file=sys.stderr)
-
-    # rows-scan goldens: single-tile (c=8,G=4,K=2 -> 1024 lanes) AND
-    # multi-tile (c=8,G=8,K=2 -> 2048 lanes, 2 grid tiles, K=2) — the r4
-    # bug only manifested at T > 1, and a golden that can't fail where the
-    # bug lives is worse than none (VERDICT r4 #5).  A failure DISABLES
-    # the rows path (msm.ROWS_SCAN_AUTO); the proven XLA-scan formulation
-    # carries the run, including the qap prove that follows.
-    for name, kw in (("rows_scan", dict(c=8, G=4, K=2)),
-                     ("rows_scan_2tile", dict(c=8, G=8, K=2))):
-        key = f"bitcheck_msm_{name}"
-        try:
-            got_r = msm.msm_pippenger(
-                F, b3,
-                jax.tree_util.tree_map(lambda c: c[:, :n_small], points),
-                scalars[:, :n_small], _rows_scan=True, **kw)
-            got_r_host = bn254.g1_points_to_host(
-                jax.tree_util.tree_map(lambda c: c[:, None], got_r))[0]
-            extra[key] = bool(got_r_host == exp)
-        except Exception as e:
-            extra[key] = f"error: {type(e).__name__}"[:80]
-        if extra[key] is not True:
-            msm.ROWS_SCAN_AUTO = False
-            extra["rows_scan_disabled"] = True
-            print(f"# msm {name} golden FAILED -> falling back to XLA scan",
-                  file=sys.stderr)
-            break
-        print(f"# msm {name} golden OK", file=sys.stderr)
+    print("# msm golden @512 xla-scan OK", file=sys.stderr)
 
 
 def bench_msm_headline(extra):
@@ -865,19 +868,22 @@ def child_main(phases: str, progress_path: str, budget: float):
             if "ntt" not in SKIP:
                 bench_ntt(extra)
         elif phases in ("heavy", "qap"):
-            # Order (VERDICT r5 #1): cheap goldens gate the fused paths,
-            # then the qap prove (the north star, whose witness MSMs pay
-            # the one 2^20 Pippenger compile), then the MSM headline
-            # timing that reuses that compiled program.
+            # Order (VERDICT r5 #1, re-tuned after the r5 rehearsal
+            # measured today's relay compiling ~1.7x slower): the qap
+            # prove FIRST — four rounds missed it and it owns the one
+            # 2^20 Pippenger compile — then the MSM headline, which
+            # reuses that compiled program and carries its own
+            # full-production-shape golden, then the 512-point
+            # diagnostics goldens with whatever budget remains.  The
+            # light phase's on-chip bitchecks plus the full-shape golden
+            # keep the headline integrity-gated; a corrupted fused path
+            # additionally surfaces as a REJECTED proof (verify runs
+            # before any number is reported).
             if phases == "qap":
                 extra["qap_retry_fresh_process"] = True
-            if phases == "heavy" and "msm" not in SKIP:
-                bench_msm_goldens(extra)
-                if extra.get("_msm_golden_failed"):
-                    return
             if "qap" not in SKIP:
-                # reserve ~4 min for the headline timing that follows
-                qap_deadline = (deadline - 240 if phases == "heavy"
+                # reserve ~3 min for the headline timing that follows
+                qap_deadline = (deadline - 180 if phases == "heavy"
                                 else deadline)
                 try:
                     bench_qap(extra, qap_deadline)
@@ -885,6 +891,11 @@ def child_main(phases: str, progress_path: str, budget: float):
                     extra["qap_error"] = f"{type(e).__name__}: {e}"[:500]
             if phases == "heavy" and "msm" not in SKIP:
                 bench_msm_headline(extra)
+                if extra.get("_msm_golden_failed"):
+                    return
+            if (phases == "heavy" and "msm" not in SKIP
+                    and time.perf_counter() < deadline - 180):
+                bench_msm_goldens(extra)
                 if extra.get("_msm_golden_failed"):
                     return
             if ("qap" not in SKIP and QAP_LOG > 16
