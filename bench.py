@@ -695,6 +695,72 @@ def _qap_cache_paths(qap_log):
     return base + ".npz", base + ".vk.json"
 
 
+def _warm_prove_programs(extra, pk, qap, assignment, deadline):
+    """Compile the cold prove's programs CONCURRENTLY before proving.
+
+    A fresh process pays every remote compile (no cross-process cache),
+    and the prove issues them sequentially: 2^20 G1 Pippenger (~430 s in
+    the r5 environment), the chunked naive G2 ladder (~6+ min), the
+    shifted-h NTT pipeline, plus the small fused-kernel shapes (tails,
+    single-point delta ladders — the Fq2 lowerings take minutes each).
+    The relay's compile helper runs per-request subprocesses, so
+    compiles issued from separate threads overlap server-side: warming
+    here turns sum-of-compiles into ~max-of-compiles.  Results are
+    discarded; the prove's jit caches are process-local and hit warm.
+    Thread errors are recorded, never raised — the prove itself retries
+    with its own shields."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from myzkp_tpu.curves import bn254, msm as _m, weierstrass as wst
+    from myzkp_tpu.snark import pinocchio
+
+    spec = bn254.r_spec()
+    d = jax.tree_util.tree_leaves(pk.g1_ell_i)[0].shape[1]
+    zeros = jnp.zeros((spec.L, d), jnp.uint32)
+    bits1 = _m.scalar_bits(_m.scalars_from_int(spec, [3]))
+    F1, b31 = bn254.g1_ops(), bn254.g1_b3(())
+    F2, b32 = bn254.g2_ops(), bn254.g2_b3(())
+
+    def job(name, fn):
+        def run():
+            t0 = time.perf_counter()
+            try:
+                out = fn()
+                jax.block_until_ready(jax.tree_util.tree_leaves(out))
+                _fetch(out)
+                extra[f"warm_{name}_s"] = round(time.perf_counter() - t0, 1)
+            except Exception as e:
+                extra[f"warm_{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+        return threading.Thread(target=run, daemon=True, name=name)
+
+    m1 = jax.tree_util.tree_leaves(pk.g1_sj)[0].shape[1]
+    threads = [
+        job("g1_pip", lambda: pinocchio._msm_g1(pk.g1_ell_i, zeros)),
+        job("g2_naive", lambda: pinocchio._msm_g2(
+            pk.g2_r_i, zeros, "naive")),
+        job("shifted_h", lambda: pinocchio.get_shifted_h(
+            qap, assignment, 3, 5, 7).coef.mont),
+        job("g1_sj", lambda: pinocchio._msm_g1(
+            pk.g1_sj, zeros[:, :m1])),
+        job("ladders", lambda: (
+            tuple(wst.scalar_mul_bits(F1, b31, pk.g1_ell_ts, bits1)),
+            tuple(jax.tree_util.tree_leaves(
+                wst.scalar_mul_bits(F2, b32, pk.g2_r_ts, bits1))))),
+    ]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=max(5.0, deadline - time.perf_counter()))
+    extra["warm_wall_s"] = round(time.perf_counter() - t0, 1)
+    print(f"# qap warm: {extra['warm_wall_s']}s "
+          f"({sum(1 for th in threads if not th.is_alive())}/"
+          f"{len(threads)} done)", file=sys.stderr)
+
+
 def bench_qap(extra, deadline, qap_log=None):
     """End-to-end Pinocchio prove at 2^qap_log constraints (north star).
 
@@ -786,6 +852,10 @@ def bench_qap(extra, deadline, qap_log=None):
         _SAVE_THREADS.append(th)
     print(f"# {tag}: keys ready ({time.perf_counter()-t1:.1f}s, "
           f"cached={cached})", file=sys.stderr)
+
+    if (os.environ.get("BENCH_NO_WARM") != "1"
+            and time.perf_counter() < deadline - 300):
+        _warm_prove_programs(extra, pk, qap, assignment, deadline - 150)
 
     if time.perf_counter() > deadline - 60:
         extra[tag + "_skipped"] = "no time for prove"
